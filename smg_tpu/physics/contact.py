@@ -1,0 +1,170 @@
+"""Dense branchless contact model: penalty normal forces + smooth Coulomb.
+
+The reference delegated contact dynamics to CoppeliaSim's Vortex engine in a
+separate process (reference README.md:31, robot.py RPC stepping). The
+TPU-native stepper instead resolves contacts as *compliant (spring-damper)
+penalties between sphere compounds* — the classic MuJoCo/MJX-style soft
+contact — because it is branchless, needs no iterative solver, and maps to
+one batched distance computation per contact class:
+
+  - object sphere  vs  table plane        (N*K contacts)
+  - object sphere  vs  object sphere      (N*K x N*K, same-object masked)
+  - gripper sphere vs  object sphere      (G x N*K, gripper kinematic)
+
+Friction is smooth Coulomb: F_t = -mu * |F_n| * tanh(|v_t| / v_eps) * v_hat,
+which is exact enough for grasp/push dynamics and keeps everything C^1 for
+potential end-to-end differentiation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from smg_tpu.physics.state import Objects
+
+
+@dataclass(frozen=True)
+class ContactParams:
+    """Soft-contact gains, tuned for explicit stability at dt = 1 ms.
+
+    With up to `contact_share` compound spheres touching simultaneously,
+    total stiffness is contact_share * kn; the floored object mass
+    (shapes.MIN_MASS) keeps omega * dt = sqrt(share * kn / m) * dt <= ~0.4
+    and the per-contact damping uses m / share so c_total * dt / m < 1.
+    """
+
+    kn: float = 800.0         # normal stiffness per contact [N/m]
+    zeta: float = 0.6         # damping ratio
+    mu: float = 0.8           # Coulomb friction coefficient
+    v_eps: float = 0.01       # friction smoothing velocity [m/s]
+    mu_gripper: float = 1.2   # rubbery fingers grip better
+    table_z: float = 0.0
+    contact_share: float = 4.0  # expected simultaneous contacts per object
+
+
+DEFAULT_PARAMS = ContactParams()
+
+
+def _pair_forces(p_a, v_a, r_a, p_b, v_b, r_b, mass_eff, prm: ContactParams):
+    """Penalty force ON a FROM b for sphere sets broadcast against each other.
+
+    All inputs broadcast to a common shape (..., 3) / (...,). Returns force
+    (..., 3); zero where not penetrating.
+    """
+    d = p_a - p_b
+    dist = jnp.linalg.norm(d, axis=-1)
+    pen = (r_a + r_b) - dist
+    n = d / (dist + 1e-9)[..., None]
+    vrel = v_a - v_b
+    vn = jnp.sum(vrel * n, axis=-1)
+    cn = 2.0 * prm.zeta * jnp.sqrt(prm.kn * mass_eff / prm.contact_share)
+    fn_mag = jnp.maximum(0.0, prm.kn * pen - cn * vn)
+    active = pen > 0.0
+    fn_mag = jnp.where(active, fn_mag, 0.0)
+    f_n = fn_mag[..., None] * n
+    # Friction.
+    vt = vrel - vn[..., None] * n
+    vt_mag = jnp.linalg.norm(vt, axis=-1)
+    ft_mag = prm.mu * fn_mag * jnp.tanh(vt_mag / prm.v_eps)
+    f_t = -ft_mag[..., None] * vt / (vt_mag + 1e-9)[..., None]
+    return f_n + f_t
+
+
+def table_forces(obj: Objects, prm: ContactParams = DEFAULT_PARAMS):
+    """Ground-plane contacts for every compound sphere.
+
+    Returns (force (N, 3), torque (N, 3)) about each object's COM.
+    """
+    centers, radii, vels = obj.world_spheres()  # (N, K, 3), (N, K), (N, K, 3)
+    pen = radii - (centers[..., 2] - prm.table_z)
+    vn = vels[..., 2]
+    m = obj.mass[:, None]
+    cn = 2.0 * prm.zeta * jnp.sqrt(prm.kn * m / prm.contact_share)
+    fn = jnp.maximum(0.0, prm.kn * pen - cn * vn)
+    fn = jnp.where(pen > 0.0, fn, 0.0)
+    # Tangential velocity in the table plane.
+    vt = vels.at[..., 2].set(0.0)
+    vt_mag = jnp.linalg.norm(vt, axis=-1)
+    ft = prm.mu * fn * jnp.tanh(vt_mag / prm.v_eps)
+    f = jnp.stack(
+        [
+            -ft * vt[..., 0] / (vt_mag + 1e-9),
+            -ft * vt[..., 1] / (vt_mag + 1e-9),
+            fn,
+        ],
+        axis=-1,
+    )  # (N, K, 3)
+    arm = centers - obj.pos[:, None, :]
+    torque = jnp.cross(arm, f)
+    return f.sum(axis=1), torque.sum(axis=1)
+
+
+def object_object_forces(obj: Objects, prm: ContactParams = DEFAULT_PARAMS):
+    """All-pairs object-object sphere contacts (same-object pairs masked).
+
+    Dense (N, K, N, K) formulation — with N = 12, K = 8 this is 9216 pair
+    tests per scene, a single fused VPU sweep under vmap.
+
+    Returns (force (N, 3), torque (N, 3)).
+    """
+    centers, radii, vels = obj.world_spheres()
+    N, K = radii.shape
+    pa = centers[:, :, None, None, :]
+    pb = centers[None, None, :, :, :]
+    va = vels[:, :, None, None, :]
+    vb = vels[None, None, :, :, :]
+    ra = radii[:, :, None, None]
+    rb = radii[None, None, :, :]
+    # Effective mass for damping: harmonic mean.
+    ma = obj.mass[:, None, None, None]
+    mb = obj.mass[None, None, :, None]
+    meff = ma * mb / (ma + mb)
+    f = _pair_forces(pa, va, ra, pb, vb, rb, meff, prm)  # (N, K, N, K, 3)
+    # Mask: no self-pairs; both objects must be live colliders.
+    live = obj.active & ~obj.removed
+    eye = jnp.eye(N, dtype=bool)
+    mask = (~eye)[:, None, :, None] & live[:, None, None, None] & live[None, None, :, None]
+    f = jnp.where(mask[..., None], f, 0.0)
+    force = f.sum(axis=(1, 2, 3))  # on each object a
+    arm = centers[:, :, None, None, :] - obj.pos[:, None, None, None, :]
+    torque = jnp.cross(arm, f).sum(axis=(1, 2, 3))
+    return force, torque
+
+
+def gripper_object_forces(
+    obj: Objects,
+    grip_centers: jax.Array,  # (G, 3)
+    grip_radii: jax.Array,    # (G,)
+    grip_vels: jax.Array,     # (G, 3)
+    prm: ContactParams = DEFAULT_PARAMS,
+):
+    """Forces from the kinematic gripper spheres onto the objects.
+
+    Returns (force (N, 3), torque (N, 3), contact_force_per_finger_sphere
+    (G,) — total normal-ish load on each gripper sphere, useful for grasp
+    diagnostics).
+    """
+    centers, radii, vels = obj.world_spheres()  # (N, K, ...)
+    pa = centers[:, :, None, :]
+    va = vels[:, :, None, :]
+    ra = radii[:, :, None]
+    pb = grip_centers[None, None, :, :]
+    vb = grip_vels[None, None, :, :]
+    rb = grip_radii[None, None, :]
+    meff = obj.mass[:, None, None]  # gripper is infinite-mass
+    gprm = ContactParams(
+        kn=prm.kn, zeta=prm.zeta, mu=prm.mu_gripper, v_eps=prm.v_eps,
+        mu_gripper=prm.mu_gripper, table_z=prm.table_z,
+        contact_share=prm.contact_share,
+    )
+    f = _pair_forces(pa, va, ra, pb, vb, rb, meff, gprm)  # (N, K, G, 3)
+    live = obj.active & ~obj.removed & (obj.attached == 0)
+    f = jnp.where(live[:, None, None, None], f, 0.0)
+    force = f.sum(axis=(1, 2))
+    arm = centers[:, :, None, :] - obj.pos[:, None, None, :]
+    torque = jnp.cross(arm, f).sum(axis=(1, 2))
+    per_sphere_load = jnp.linalg.norm(f, axis=-1).sum(axis=(0, 1))  # (G,)
+    return force, torque, per_sphere_load
