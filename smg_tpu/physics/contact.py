@@ -40,9 +40,16 @@ class ContactParams:
     zeta: float = 0.6         # damping ratio
     mu: float = 0.8           # Coulomb friction coefficient
     v_eps: float = 0.01       # friction smoothing velocity [m/s]
-    mu_gripper: float = 1.2   # rubbery fingers grip better
+    # Gripper-object friction. Captures are welds (not friction-held), so
+    # this only shapes pushing; the soft fingers' sides are smooth — high
+    # values drag brushed objects out of the cage during descend.
+    mu_gripper: float = 0.6
     table_z: float = 0.0
     contact_share: float = 4.0  # expected simultaneous contacts per object
+    # Robustness clamps: deep sweeps and fast kinematic colliders otherwise
+    # produce impulsive forces that eject objects.
+    max_pen: float = 0.006      # [m] penetration depth cap for the spring
+    max_vn: float = 0.5         # [m/s] normal-velocity cap for the damper
 
 
 DEFAULT_PARAMS = ContactParams()
@@ -59,9 +66,11 @@ def _pair_forces(p_a, v_a, r_a, p_b, v_b, r_b, mass_eff, prm: ContactParams):
     pen = (r_a + r_b) - dist
     n = d / (dist + 1e-9)[..., None]
     vrel = v_a - v_b
-    vn = jnp.sum(vrel * n, axis=-1)
+    vn = jnp.clip(jnp.sum(vrel * n, axis=-1), -prm.max_vn, prm.max_vn)
     cn = 2.0 * prm.zeta * jnp.sqrt(prm.kn * mass_eff / prm.contact_share)
-    fn_mag = jnp.maximum(0.0, prm.kn * pen - cn * vn)
+    fn_mag = jnp.maximum(
+        0.0, prm.kn * jnp.minimum(pen, prm.max_pen) - cn * vn
+    )
     active = pen > 0.0
     fn_mag = jnp.where(active, fn_mag, 0.0)
     f_n = fn_mag[..., None] * n
@@ -80,10 +89,10 @@ def table_forces(obj: Objects, prm: ContactParams = DEFAULT_PARAMS):
     """
     centers, radii, vels = obj.world_spheres()  # (N, K, 3), (N, K), (N, K, 3)
     pen = radii - (centers[..., 2] - prm.table_z)
-    vn = vels[..., 2]
+    vn = jnp.clip(vels[..., 2], -prm.max_vn, prm.max_vn)
     m = obj.mass[:, None]
     cn = 2.0 * prm.zeta * jnp.sqrt(prm.kn * m / prm.contact_share)
-    fn = jnp.maximum(0.0, prm.kn * pen - cn * vn)
+    fn = jnp.maximum(0.0, prm.kn * jnp.minimum(pen, prm.max_pen) - cn * vn)
     fn = jnp.where(pen > 0.0, fn, 0.0)
     # Tangential velocity in the table plane.
     vt = vels.at[..., 2].set(0.0)
@@ -158,7 +167,8 @@ def gripper_object_forces(
     gprm = ContactParams(
         kn=prm.kn, zeta=prm.zeta, mu=prm.mu_gripper, v_eps=prm.v_eps,
         mu_gripper=prm.mu_gripper, table_z=prm.table_z,
-        contact_share=prm.contact_share,
+        contact_share=prm.contact_share, max_pen=prm.max_pen,
+        max_vn=prm.max_vn,
     )
     f = _pair_forces(pa, va, ra, pb, vb, rb, meff, gprm)  # (N, K, G, 3)
     live = obj.active & ~obj.removed & (obj.attached == 0)

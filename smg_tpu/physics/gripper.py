@@ -35,9 +35,11 @@ N_FINGERS = 4
 PALM_SPHERES = 1
 N_GRIPPER_SPHERES = PALM_SPHERES + N_FINGERS * SPHERES_PER_FINGER  # 37
 
-# Between half-depth (9.1 mm) and half-width (14.4 mm) of the physical
-# finger cross-section; large enough to close the inter-sphere gaps.
-FINGER_RADIUS = 0.012
+# The physical finger half-depth (9.1 mm): with midpoint-interpolated
+# chain spheres (~15 mm apart) the colliders still overlap, and thinner
+# fingers keep the descend clearance the reference's 1.2/1.3 pre-open
+# factors were designed to give.
+FINGER_RADIUS = 0.0095
 PALM_RADIUS = P.D0 / 2.0
 PALM_DROP = 0.02  # palm center sits just above the finger-base ring
 PAD_OFFSET = P.sucker_height  # pad tip protrudes below the fingertip

@@ -27,10 +27,11 @@ BOX = 0
 CYLINDER = 1
 SPHERE = 2
 
-# Spheres per object in the collision compound. 8 keeps narrow-phase pair
-# blocks MXU/VPU-tile friendly (8 x 8 = 64 pairwise distances per object
-# pair).
-SPHERES_PER_OBJECT = 8
+# Spheres per object in the collision compound: 8 support spheres (corners
+# / ring) + 1 inscribed center sphere. The center sphere fills the middle
+# of the compound so two objects' corner spheres cannot interlock
+# lattice-style under deep overlap.
+SPHERES_PER_OBJECT = 9
 
 DEFAULT_DENSITY = 300.0  # kg/m^3 — light foam/plastic objects
 
@@ -67,7 +68,9 @@ def sphere_compound(shape_type: jax.Array, half_extents: jax.Array):
             ],
             dtype=he.dtype,
         )
-        return signs * inset, jnp.full((8,), r)
+        offs = jnp.concatenate([signs * inset, jnp.zeros((1, 3), he.dtype)])
+        radii = jnp.concatenate([jnp.full((8,), r), jnp.min(he)[None]])
+        return offs, radii
 
     def cyl_compound():
         R, hh = he[0], he[2]
@@ -79,10 +82,14 @@ def sphere_compound(shape_type: jax.Array, half_extents: jax.Array):
         offs = jnp.stack(
             [ring_r * jnp.cos(ang), ring_r * jnp.sin(ang), z], axis=1
         )
-        return offs, jnp.full((8,), r)
+        offs = jnp.concatenate([offs, jnp.zeros((1, 3), he.dtype)])
+        radii = jnp.concatenate(
+            [jnp.full((8,), r), jnp.minimum(R, hh)[None]]
+        )
+        return offs, radii
 
     def sph_compound():
-        return jnp.zeros((8, 3), he.dtype), jnp.full((8,), he[0])
+        return jnp.zeros((9, 3), he.dtype), jnp.full((9,), he[0])
 
     return jax.lax.switch(
         shape_type, [box_compound, cyl_compound, sph_compound]

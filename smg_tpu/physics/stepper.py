@@ -43,11 +43,12 @@ class StepperParams:
     ang_damping: float = 2.0    # rotational drag [1/s]
     max_vel: float = 3.0
     max_omega: float = 30.0
-    # Gripper servo rates (reference stepped 2-20 mm and 0.1-0.3 rad per
-    # RPC; we expose the same magnitudes as per-step rate limits).
-    servo_v: float = 0.01      # m per step toward position target
-    servo_w: float = 0.1       # rad per step toward yaw/tilt target
-    servo_curl: float = 0.02   # rad per step of tendon closing
+    # Gripper servo rates. The reference stepped 2-20 mm per blocking RPC
+    # (robot.py:302-375); at dt = 1 ms these rates bound the tool speed to
+    # ~4 m/s so kinematic sweeps don't launch objects ballistically.
+    servo_v: float = 0.004     # m per step toward position target
+    servo_w: float = 0.06      # rad per step toward yaw/tilt target
+    servo_curl: float = 0.015  # rad per step of tendon closing
 
 
 DEFAULT = StepperParams()

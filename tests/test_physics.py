@@ -71,7 +71,14 @@ class TestStepper:
         assert v < 0.01
 
     def test_energy_bounded_no_explosion(self):
-        scene = single_box_scene(z=0.3)
+        # Drop away from the gripper's home hover (-0.5, 0, 0.3).
+        scene = single_box_scene(z=0.25)
+        obj = scene.objects
+        scene = scene.replace(
+            objects=obj.replace(
+                pos=obj.pos.at[0, :2].set(jnp.array([-0.62, -0.12]))
+            )
+        )
         scene = stepper.settle(scene, 800)
         assert bool(jnp.all(jnp.isfinite(scene.objects.pos)))
         assert float(scene.objects.pos[0, 2]) < 0.05
