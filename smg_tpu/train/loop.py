@@ -1,0 +1,300 @@
+"""The batched multistage training loop — main.py's episode/step spine.
+
+One `train_step` = the body of the reference's per-step loop
+(reference code/main.py:106-422) over a whole scene batch:
+
+  observe -> segment -> score (O(N)+O(N^2) nets, batched) -> arbitrate
+  -> PE/OO geometry -> [delayed: label + update on the previous step]
+  -> execute primitive -> counters / episode bookkeeping / auto-reset
+
+Scenes run *continuously*: a scene whose episode terminates (cleared /
+stuck / success cap, main.py:121) is re-spawned in place, so the batch
+always advances in lockstep — the vectorized form of the reference's
+sequential episode loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from smg_tpu.envs import smg_env as env
+from smg_tpu.physics import scene as scene_mod
+from smg_tpu.physics import stepper
+from smg_tpu.physics.state import Scene
+from smg_tpu.policy import arbitrate as arb
+from smg_tpu.policy.arbitrate import (
+    ACTION_ETS,
+    ACTION_GRASP,
+    ACTION_SUCTION,
+    ActionChoice,
+)
+from smg_tpu.train.trainer import Experience, Trainer, TrainerState
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    env: env.EnvConfig = field(default_factory=env.EnvConfig)
+    batch_size: int = 8
+    explore_rate_decay: bool = False  # main.py:443
+    reset_settle_steps: int = 100
+
+
+@struct.dataclass
+class EpisodeCounters:
+    """Per-scene episode bookkeeping (main.py:77,94-95,304-313)."""
+
+    no_change: jax.Array      # (B, 2) [grasp-family, suction] fail streaks
+    episode_iter: jax.Array   # (B,)
+    episode_succ: jax.Array   # (B,)
+    episode_idx: jax.Array    # (B,) episodes completed in this scene slot
+
+    @staticmethod
+    def zeros(B: int) -> "EpisodeCounters":
+        return EpisodeCounters(
+            no_change=jnp.zeros((B, 2), jnp.int32),
+            episode_iter=jnp.zeros((B,), jnp.int32),
+            episode_succ=jnp.zeros((B,), jnp.int32),
+            episode_idx=jnp.zeros((B,), jnp.int32),
+        )
+
+
+@struct.dataclass
+class PrevStep:
+    """The prev_* carry (main.py:399-418)."""
+
+    exp: Experience                 # batched (B, ...)
+    choice: ActionChoice            # batched
+    outcome: env.StepOutcome        # batched
+    objects_number: jax.Array       # (B,)
+
+
+@struct.dataclass
+class LoopState:
+    scenes: Scene                   # batched
+    trainer: TrainerState
+    counters: EpisodeCounters
+    prev: PrevStep
+    key: jax.Array
+
+
+@struct.dataclass
+class StepMetrics:
+    loss: jax.Array                 # ()
+    reward: jax.Array               # (B,)
+    label_value: jax.Array          # (B,)
+    predicted_value: jax.Array      # (B,)
+    action: jax.Array               # (B,)
+    explored: jax.Array             # (B,)
+    best_pix: jax.Array             # (B, 6)
+    objects_number: jax.Array       # (B,)
+    episodes_done: jax.Array        # (B,) bool
+    episode_succ: jax.Array         # (B,)
+    grasp_success: jax.Array        # (B,)
+    suction_success: jax.Array      # (B,)
+    gs_success: jax.Array           # (B,)
+
+
+def blank_prev(B: int) -> PrevStep:
+    z = jnp.zeros((B,), jnp.int32)
+    zf = jnp.zeros((B,))
+    exp = Experience(
+        scene_depth=jnp.zeros((B, 224, 224)),
+        exec_mask=jnp.zeros((B, 224, 224), bool),
+        style=z,
+        valid=jnp.zeros((B,), bool),
+    )
+    choice = ActionChoice(
+        action=z, grasp_obj=z, grasp_rot=z, suction_obj=z, suction_rot=z,
+        predicted_value=zf, explored=jnp.zeros((B,), bool),
+        best_pix=jnp.zeros((B, 6), jnp.int32),
+        bestg_id=jnp.zeros((B, 2), jnp.int32),
+        bests_id=jnp.zeros((B, 2), jnp.int32),
+        bestgs_g_id=jnp.zeros((B, 2), jnp.int32),
+        bestgs_s_id=jnp.zeros((B, 2), jnp.int32),
+        bestgs_pair=jnp.zeros((B, 2), jnp.int32),
+        bestg_conf=zf, bests_conf=zf, bestgs_conf=zf, exploit_action=z,
+    )
+    outcome = env.StepOutcome(
+        suction_success=zf, grasp_success=zf, gs_success=zf
+    )
+    return PrevStep(exp=exp, choice=choice, outcome=outcome,
+                    objects_number=z)
+
+
+def init_loop(
+    key: jax.Array, trainer: Trainer, cfg: LoopConfig
+) -> LoopState:
+    k_scenes, k_model, k_loop = jax.random.split(key, 3)
+    scenes = jax.vmap(lambda k: env.reset(k, cfg.env))(
+        jax.random.split(k_scenes, cfg.batch_size)
+    )
+    return LoopState(
+        scenes=scenes,
+        trainer=trainer.init_state(k_model),
+        counters=EpisodeCounters.zeros(cfg.batch_size),
+        prev=blank_prev(cfg.batch_size),
+        key=k_loop,
+    )
+
+
+def train_step(
+    trainer: Trainer, cfg: LoopConfig, state: LoopState
+) -> tuple[LoopState, StepMetrics]:
+    """One full sense-score-select-label-update-execute step for the batch."""
+    B = cfg.batch_size
+    ecfg = cfg.env
+    key, k_sel, k_reset = jax.random.split(state.key, 3)
+
+    # --- Observe (main.py:108-117) ---
+    obs = jax.vmap(env.observe)(state.scenes)
+    scene_depths = jax.vmap(env.masked_scene_depth)(obs)  # (B, 224, 224)
+    masks = obs.seg.masks                                  # (B, N, 224, 224)
+    valid = obs.seg.valid
+
+    # --- Score with the online net (main.py:158-192) ---
+    scores = trainer.score_scene_batch(
+        state.trainer, scene_depths, masks, valid
+    )
+
+    # --- Arbitrate + explore (main.py:205-243) ---
+    explore_prob = arb.explore_probability(
+        state.trainer.iteration, cfg.explore_rate_decay, ecfg.is_testing
+    )
+    choice = jax.vmap(
+        lambda k, g, s, gs, v, c: arb.select_action(
+            k, g, s, gs, v, c,
+            method=ecfg.method, is_ets=ecfg.is_ets,
+            is_testing=ecfg.is_testing, explore_prob=explore_prob,
+        )
+    )(jax.random.split(k_sel, B), scores.gra_conf, scores.suc_conf,
+      scores.gs_conf, valid, obs.seg.centers)
+
+    # --- Delayed training on the previous step (main.py:302-343) ---
+    if ecfg.is_testing:
+        label_values = jnp.zeros((B,))
+        reward_values = trainer.current_reward(
+            state.prev.choice, state.prev.outcome
+        )
+        new_trainer = state.trainer
+        loss = jnp.asarray(0.0)
+    elif trainer.cfg.method == "reactive":
+        label_values = trainer.reactive_labels(
+            state.prev.choice, state.prev.outcome
+        ).astype(jnp.float32)
+        reward_values = trainer.current_reward(
+            state.prev.choice, state.prev.outcome
+        )
+        new_trainer, loss = trainer.update(
+            state.trainer, state.prev.exp, label_values
+        )
+    else:
+        label_values, reward_values = trainer.dqn_labels(
+            state.trainer, state.prev.choice, state.prev.outcome,
+            state.prev.objects_number, scene_depths, masks, choice,
+        )
+        new_trainer, loss = trainer.update(
+            state.trainer, state.prev.exp, label_values
+        )
+
+    # --- Geometry + execute (main.py:245-294, 384-396) ---
+    geom = jax.vmap(lambda c, o: env.compute_geometry(c, o, ecfg))(
+        choice, obs
+    )
+    new_scenes, outcome = jax.vmap(
+        lambda s, c, g: env.execute(s, c, g)
+    )(state.scenes, choice, geom)
+
+    # --- Counters (main.py:304-313, 420-422) ---
+    succ_any = jax.vmap(lambda o: o.any_success)(outcome)
+    is_suction = choice.action == ACTION_SUCTION
+    nc = state.counters.no_change
+    nc_suction = jnp.where(
+        is_suction, jnp.where(succ_any, 0, nc[:, 1] + 1), nc[:, 1]
+    )
+    nc_grasp = jnp.where(
+        ~is_suction, jnp.where(succ_any, 0, nc[:, 0] + 1), nc[:, 0]
+    )
+    no_change = jnp.stack([nc_grasp, nc_suction], axis=1)
+    episode_iter = state.counters.episode_iter + 1
+    episode_succ = state.counters.episode_succ + succ_any.astype(jnp.int32)
+
+    # --- Episode termination + auto-reset (main.py:92-104,121) ---
+    next_obs_number = jax.vmap(
+        lambda s: (s.objects.active & ~s.objects.removed).sum()
+    )(new_scenes)
+    sim_ok = jax.vmap(lambda s: stepper.sim_stable(s.gripper))(new_scenes)
+    done = (
+        (next_obs_number == 0)
+        | (no_change.sum(axis=1) > ecfg.no_change_limit)
+        | ~sim_ok
+        | (episode_succ >= ecfg.max_episode_success)
+        | (episode_iter >= ecfg.step_limit)
+    )
+    fresh = jax.vmap(
+        lambda k: scene_mod.reset_scene(
+            k, ecfg.is_cluttered, ecfg.is_testing, cfg.reset_settle_steps
+        )
+    )(jax.random.split(k_reset, B))
+    scenes_next = jax.tree_util.tree_map(
+        lambda new, fr: jnp.where(
+            done.reshape((B,) + (1,) * (new.ndim - 1)), fr, new
+        ),
+        new_scenes, fresh,
+    )
+    counters_next = EpisodeCounters(
+        no_change=jnp.where(done[:, None], 0, no_change),
+        episode_iter=jnp.where(done, 0, episode_iter),
+        episode_succ=jnp.where(done, 0, episode_succ),
+        episode_idx=state.counters.episode_idx + done.astype(jnp.int32),
+    )
+
+    # --- Build this step's experience for the next update ---
+    bidx = jnp.arange(B)
+    mask_g = masks[bidx, choice.grasp_obj]
+    mask_s = masks[bidx, choice.suction_obj]
+    exec_mask = jnp.where(
+        (choice.action == ACTION_GRASP)[:, None, None], mask_g,
+        jnp.where((choice.action == ACTION_SUCTION)[:, None, None], mask_s,
+                  mask_g | mask_s),
+    )
+    style = jnp.where(
+        choice.action == ACTION_GRASP, 0,
+        jnp.where(choice.action == ACTION_SUCTION, 1, 2),
+    ).astype(jnp.int32)
+    exp = Experience(
+        scene_depth=scene_depths,
+        exec_mask=exec_mask,
+        style=style,
+        valid=valid.any(axis=1),
+    )
+    prev = PrevStep(
+        exp=exp, choice=choice, outcome=outcome,
+        objects_number=obs.seg.number,
+    )
+
+    metrics = StepMetrics(
+        loss=loss,
+        reward=trainer.current_reward(choice, outcome),
+        label_value=label_values,
+        predicted_value=choice.predicted_value,
+        action=choice.action,
+        explored=choice.explored,
+        best_pix=choice.best_pix,
+        objects_number=obs.seg.number,
+        episodes_done=done,
+        episode_succ=episode_succ,
+        grasp_success=outcome.grasp_success,
+        suction_success=outcome.suction_success,
+        gs_success=outcome.gs_success,
+    )
+    return (
+        LoopState(
+            scenes=scenes_next, trainer=new_trainer,
+            counters=counters_next, prev=prev, key=key,
+        ),
+        metrics,
+    )

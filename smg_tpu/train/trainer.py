@@ -1,0 +1,389 @@
+"""The multistage trainer: batched scoring, DQN labels, gradient updates.
+
+Re-design of the reference `Trainer` (code/trainer.py) for dense scene
+batches:
+
+- `score_scene_batch`  <- the O(N) + O(N^2) trainer.forward loop of
+  main.py:158-192, as three batched two-stream evaluations with the scene
+  features shared and pair streams chunked;
+- `dqn_labels`         <- trainer.get_label_value (trainer.py:238-274):
+  r + gamma * Q_target(s', argmax_online(s')) with the future term zeroed
+  on failure or table-cleared, evaluated by the target net at the online
+  net's chosen ids (double-DQN flavor);
+- `reactive_labels`    <- trainer.py:218-236 (class 0 success / 1 failure);
+- `update`             <- trainer.backprop (trainer.py:278-384): re-forward
+  the executed (scene, object-mask, style) with gradients, CE or Huber
+  loss, Adam(1e-4) — except the step averages over the whole scene batch
+  instead of the reference's batch-of-1 (a strictly better estimator; the
+  per-scene semantics are unchanged).
+
+Optimizer state, params, target params, BN statistics and the RNG all live
+in one `TrainerState` pytree, sharding-friendly for pjit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from smg_tpu.models import affordance as aff
+from smg_tpu.models.affordance import (
+    AffordanceNet,
+    ModelConfig,
+    STYLE_ETS,
+    STYLE_GRASP,
+    STYLE_SUCTION,
+)
+from smg_tpu.physics.state import N_SLOTS
+from smg_tpu.policy.arbitrate import (
+    ACTION_ETS,
+    ACTION_GRASP,
+    ACTION_SUCTION,
+    ActionChoice,
+)
+from smg_tpu.train import losses
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    method: str = "reinforcement"
+    future_reward_discount: float = 0.5  # gamma (main.py:442)
+    learning_rate: float = 1e-4          # Adam (trainer.py:99)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    target_update_freq: int = 10         # main.py:450
+    is_ets: bool = False
+    pair_chunk: int = 11                 # ETS pair streams per chunk
+    scene_chunk: int = 4                 # scenes scored per model call
+
+
+@struct.dataclass
+class TrainerState:
+    params: dict
+    batch_stats: dict
+    target_params: dict    # DQN target net (reactive: alias of params)
+    opt_state: optax.OptState
+    iteration: jax.Array   # () int32 global step
+
+
+@struct.dataclass
+class Experience:
+    """One step's training sample per scene (the prev_* carry of
+    main.py:399-418, reduced to what backprop needs)."""
+
+    scene_depth: jax.Array   # (224, 224) masked scene heightmap
+    exec_mask: jax.Array     # (224, 224) bool — executed object-mask union
+    style: jax.Array         # () int32 STYLE_*
+    valid: jax.Array         # () bool — there is something to train on
+
+
+@struct.dataclass
+class SceneScores:
+    gra_conf: jax.Array   # (N, R)
+    suc_conf: jax.Array   # (N, R)
+    gs_conf: jax.Array    # (N, N)
+
+
+# Pair index table for ETS (i < j upper triangle of N_SLOTS).
+_PI, _PJ = jnp.triu_indices(N_SLOTS, k=1)
+N_PAIRS = int(_PI.shape[0])
+
+
+class Trainer:
+    """Owns the model + optimizer; all methods are pure in TrainerState."""
+
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.model = AffordanceNet(cfg.model)
+        self.tx = optax.adam(
+            cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
+            eps=cfg.adam_eps,
+        )
+
+    # ------------------------------------------------------------------
+    # State
+    # ------------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TrainerState:
+        params, stats = aff.init_params(key, self.cfg.model)
+        return TrainerState(
+            params=params,
+            batch_stats=stats,
+            target_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=self.tx.init(params),
+            iteration=jnp.asarray(0, jnp.int32),
+        )
+
+    def maybe_sync_target(self, state: TrainerState) -> TrainerState:
+        """Copy online -> target every target_update_freq iterations
+        (main.py:351-353)."""
+        sync = (state.iteration % self.cfg.target_update_freq) == 0
+        new_target = jax.tree_util.tree_map(
+            lambda t, p: jnp.where(sync, p, t), state.target_params,
+            state.params,
+        )
+        return state.replace(target_params=new_target)
+
+    # ------------------------------------------------------------------
+    # Scoring (inference)
+    # ------------------------------------------------------------------
+
+    def _apply(self, params, stats, scene_in, mask_ins, style, train=False):
+        return self.model.apply(
+            {"params": params, "batch_stats": stats},
+            scene_in, mask_ins, style, train, method=AffordanceNet.score,
+        )
+
+    def _prep(self, depth_hm):
+        return aff.preprocess_depth(depth_hm, self.cfg.model)
+
+    def score_scene(
+        self, params, stats, scene_depth: jax.Array, masks: jax.Array,
+        valid: jax.Array,
+    ) -> SceneScores:
+        """Score one scene: (224, 224) masked depth + (N, 224, 224) masks.
+
+        The per-object styles 0/1 run as one N-wide batch each; ETS pairs
+        run in chunks of cfg.pair_chunk.
+        """
+        cfg = self.cfg
+        scene_in = self._prep(scene_depth)[None]  # (1, S, S, 3)
+        obj_depths = scene_depth[None] * masks  # (N, 224, 224)
+        obj_ins = jax.vmap(self._prep)(obj_depths)[None]  # (1, N, S, S, 3)
+
+        gra = self._apply(params, stats, scene_in, obj_ins, STYLE_GRASP)
+        suc = self._apply(params, stats, scene_in, obj_ins, STYLE_SUCTION)
+        gra_conf = self._postprocess(gra[0])  # (N, R=1)
+        suc_conf = self._postprocess(suc[0])
+
+        gs_conf = jnp.full((N_SLOTS, N_SLOTS), -100.0)
+        if cfg.is_ets:
+            pair_depths = (
+                scene_depth[None] * (masks[_PI] | masks[_PJ])
+            )  # (P, 224, 224)
+            n_chunks = -(-N_PAIRS // cfg.pair_chunk)
+            pad = n_chunks * cfg.pair_chunk - N_PAIRS
+            pair_depths = jnp.pad(pair_depths, ((0, pad), (0, 0), (0, 0)))
+            chunks = pair_depths.reshape(
+                n_chunks, cfg.pair_chunk, *pair_depths.shape[1:]
+            )
+
+            def score_chunk(chunk):
+                ins = jax.vmap(self._prep)(chunk)[None]
+                out = self._apply(params, stats, scene_in, ins, STYLE_ETS)
+                return self._postprocess(out[0])[:, 0]
+
+            vals = jax.lax.map(score_chunk, chunks).reshape(-1)[:N_PAIRS]
+            gs_conf = gs_conf.at[_PI, _PJ].set(vals)
+        return SceneScores(
+            gra_conf=jnp.where(valid[:, None], gra_conf, -1e9),
+            suc_conf=jnp.where(valid[:, None], suc_conf, -1e9),
+            gs_conf=gs_conf,
+        )
+
+    def _postprocess(self, out: jax.Array) -> jax.Array:
+        """(M, num_out) head output -> (M, R=1) confidences.
+
+        reactive: P(class 0) via softmax (trainer.py:196-199);
+        reinforcement: raw Q (trainer.py:205-207).
+        """
+        if self.cfg.method == "reactive":
+            return jax.nn.softmax(out, axis=-1)[:, :1]
+        return out
+
+    def score_scene_batch(
+        self, state: TrainerState, scene_depths, masks, valid,
+        use_target: bool = False,
+    ) -> SceneScores:
+        """Batched scoring over scenes, chunked to bound activation memory."""
+        params = state.target_params if use_target else state.params
+        fn = partial(self.score_scene, params, state.batch_stats)
+        return jax.lax.map(
+            lambda args: fn(*args), (scene_depths, masks, valid),
+            batch_size=self.cfg.scene_chunk,
+        )
+
+    # ------------------------------------------------------------------
+    # Labels (trainer.get_label_value)
+    # ------------------------------------------------------------------
+
+    def reactive_labels(self, choice: ActionChoice, outcome) -> jax.Array:
+        """Class label per scene: 0 success / 1 failure (trainer.py:218-236;
+        ETS succeeds only at reward 2.5, trainer.py:229-234)."""
+        success = jnp.where(
+            choice.action == ACTION_SUCTION, outcome.suction_success > 0,
+            jnp.where(
+                choice.action == ACTION_GRASP, outcome.grasp_success > 0,
+                outcome.gs_success == 2.5,
+            ),
+        )
+        return jnp.where(success, 0, 1).astype(jnp.int32)
+
+    def current_reward(self, choice: ActionChoice, outcome) -> jax.Array:
+        return jnp.where(
+            choice.action == ACTION_SUCTION, outcome.suction_success,
+            jnp.where(
+                choice.action == ACTION_GRASP, outcome.grasp_success,
+                outcome.gs_success,
+            ),
+        )
+
+    def dqn_labels(
+        self,
+        state: TrainerState,
+        prev_choice: ActionChoice,
+        prev_outcome,
+        prev_objects_number: jax.Array,     # (B,)
+        next_scene_depths: jax.Array,       # (B, 224, 224) masked
+        next_masks: jax.Array,              # (B, N, 224, 224)
+        next_choice: ActionChoice,          # online net's choice on s'
+    ):
+        """Expected reward r + gamma * Q_target(s', a*_online) per scene.
+
+        Parity: trainer.py:238-274 including the future-term zeroing on
+        failure (trainer.py:248-249) and on table-cleared
+        (trainer.py:250-251).
+        """
+        r = self.current_reward(prev_choice, prev_outcome)
+
+        # Target-net Q at the online net's exploit ids on s'.
+        exploit = next_choice.exploit_action
+        g_obj = next_choice.bestg_id[:, 0]
+        s_obj = next_choice.bests_id[:, 0]
+        eg_obj = next_choice.bestgs_g_id[:, 0]
+        es_obj = next_choice.bestgs_s_id[:, 0]
+        B = next_scene_depths.shape[0]
+        bidx = jnp.arange(B)
+        mask_g = next_masks[bidx, g_obj]
+        mask_s = next_masks[bidx, s_obj]
+        mask_e = next_masks[bidx, eg_obj] | next_masks[bidx, es_obj]
+        exec_mask = jnp.where(
+            (exploit == ACTION_GRASP)[:, None, None], mask_g,
+            jnp.where((exploit == ACTION_SUCTION)[:, None, None], mask_s,
+                      mask_e),
+        )
+        style = jnp.where(
+            exploit == ACTION_GRASP, STYLE_GRASP,
+            jnp.where(exploit == ACTION_SUCTION, STYLE_SUCTION, STYLE_ETS),
+        )
+        future = self._eval_styled(
+            state.target_params, state.batch_stats, next_scene_depths,
+            exec_mask, style,
+        )
+
+        # Zero rules (trainer.py:248-251).
+        any_succ = (
+            (prev_outcome.suction_success > 0)
+            | (prev_outcome.grasp_success > 0)
+            | (prev_outcome.gs_success > 0)
+        )
+        cleared = (
+            ((prev_objects_number == 1) & (prev_outcome.suction_success == 1))
+            | ((prev_objects_number == 1) & (prev_outcome.grasp_success == 1))
+            | ((prev_objects_number == 2) & (prev_outcome.gs_success == 2.5))
+        )
+        future = jnp.where(~any_succ | cleared, 0.0, future)
+        return r + self.cfg.future_reward_discount * future, r
+
+    def _eval_styled(self, params, stats, scene_depths, exec_masks, styles):
+        """Q/confidence of (scene, mask) pairs whose style varies per scene.
+
+        Evaluates all three styles and selects — styles are trace-time
+        values under vmap. (B, 224, 224) x2 + (B,) -> (B,).
+        """
+        def one(scene_depth, mask, style):
+            scene_in = self._prep(scene_depth)[None]
+            mask_in = self._prep(scene_depth * mask)[None, None]
+            outs = [
+                self._postprocess(
+                    self._apply(params, stats, scene_in, mask_in, s)[0]
+                )[0, 0]
+                for s in (STYLE_GRASP, STYLE_SUCTION, STYLE_ETS)
+            ]
+            return jnp.select(
+                [style == STYLE_GRASP, style == STYLE_SUCTION],
+                [outs[0], outs[1]], outs[2],
+            )
+
+        return jax.lax.map(
+            lambda args: one(*args), (scene_depths, exec_masks, styles),
+            batch_size=self.cfg.scene_chunk,
+        )
+
+    # ------------------------------------------------------------------
+    # Update (trainer.backprop)
+    # ------------------------------------------------------------------
+
+    def update(
+        self, state: TrainerState, exp: Experience, labels: jax.Array
+    ) -> tuple[TrainerState, jax.Array]:
+        """One Adam step on the batch of executed experiences.
+
+        labels: (B,) float Q targets (DQN) or int class labels (reactive).
+        Invalid experiences (first step of an episode) contribute 0 loss.
+        """
+        reactive = self.cfg.method == "reactive"
+
+        def loss_fn(params):
+            def per_scene(scene_depth, mask, style, valid, label, stats):
+                scene_in = self._prep(scene_depth)[None]
+                mask_in = self._prep(scene_depth * mask)[None, None]
+                outs = []
+                new_stats = stats
+                for s in (STYLE_GRASP, STYLE_SUCTION, STYLE_ETS):
+                    out, mut = self.model.apply(
+                        {"params": params, "batch_stats": stats},
+                        scene_in, mask_in, s, True,
+                        method=AffordanceNet.score,
+                        mutable=["batch_stats"],
+                    )
+                    outs.append(out[0, 0])
+                    new_stats = jax.tree_util.tree_map(
+                        lambda ns, m: jnp.where(style == s, m, ns),
+                        new_stats, mut["batch_stats"],
+                    )
+                out = jnp.select(
+                    [style == STYLE_GRASP, style == STYLE_SUCTION],
+                    [outs[0], outs[1]], outs[2],
+                )  # (num_out,)
+                if reactive:
+                    loss = losses.reactive_ce(out, label.astype(jnp.int32))
+                else:
+                    loss = losses.huber_q(out[0], label)
+                return jnp.where(valid, loss, 0.0), new_stats
+
+            # Chunked over the batch to bound memory.
+            losses_b, stats_b = jax.lax.map(
+                lambda args: per_scene(*args, state.batch_stats),
+                (exp.scene_depth, exp.exec_mask, exp.style, exp.valid,
+                 labels),
+                batch_size=self.cfg.scene_chunk,
+            )
+            n = jnp.maximum(exp.valid.sum(), 1)
+            new_stats = jax.tree_util.tree_map(
+                lambda s: s.mean(axis=0), stats_b
+            )
+            return losses_b.sum() / n, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            params=new_params,
+            opt_state=new_opt,
+            batch_stats=new_stats,
+            iteration=state.iteration + 1,
+        )
+        if self.cfg.method == "reinforcement":
+            state = self.maybe_sync_target(state)
+        return state, loss
