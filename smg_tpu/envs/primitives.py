@@ -49,17 +49,6 @@ from smg_tpu.physics.state import (
 
 FULL_CLOSE = float(jnp.pi / 2.5)  # suction posture (robot.py:253)
 
-# Phase step counts (static shapes). At the stepper's servo rates
-# (4 mm, 0.06 rad, 0.015 rad curl per 1 ms step) these bound the longest
-# travel each phase needs (~0.45 m cross-workspace moves, full-curl
-# closes) plus settling margin.
-STEPS_MOVE_ABOVE = 130
-STEPS_PRECLOSE = 95
-STEPS_DESCEND = 65
-STEPS_SQUEEZE = 55
-STEPS_LIFT = 65
-STEPS_PAD_ALIGN = 45
-
 APPROACH_MARGIN = 0.2  # hover height above the target (robot.py:575,656)
 TIP_TARGET_Z = 0.008   # fingertip height during the enveloping descend
 PAD_PRESS = 0.004      # press the pad slightly into the surface
@@ -68,7 +57,23 @@ SUCTION_SKIN = 0.010   # pad-to-surface attach tolerance
 
 @dataclass(frozen=True)
 class PrimitiveParams:
+    """Stepper gains + phase step counts (static shapes).
+
+    At the stepper's servo rates (4 mm, 0.06 rad, 0.015 rad curl per 1 ms
+    step) the defaults bound the longest travel each phase needs (~0.45 m
+    cross-workspace moves, full-curl closes) plus settling margin. Smaller
+    counts compile/execute the same program faster for smoke tests and the
+    multi-chip dryrun.
+    """
+
     stepper: stepper.StepperParams = stepper.DEFAULT
+    steps_move_above: int = 130
+    steps_preclose: int = 95
+    steps_descend: int = 65
+    steps_squeeze: int = 55
+    steps_lift: int = 65
+    steps_pad_align: int = 45
+    steps_finish: int = 40
 
 
 DEFAULT = PrimitiveParams()
@@ -176,14 +181,15 @@ def _teleport_out_lifted(scene: Scene,
     )
 
 
-def _finish(scene: Scene) -> Scene:
+def _finish(scene: Scene, p: PrimitiveParams = None) -> Scene:
     """Detach everything, open the gripper, resurrect fallen objects and
     let the table settle briefly (robot.py:489-508 epilogue)."""
+    p = DEFAULT if p is None else p
     obj = stepper.detach_all(scene.objects)
     obj = stepper.resurrect_fallen(obj)
     scene = scene.replace(objects=obj)
     open_target = scene.gripper.replace(curl=jnp.asarray(0.0))
-    return _phase(scene, open_target, 40, DEFAULT)
+    return _phase(scene, open_target, p.steps_finish, p)
 
 
 # ---------------------------------------------------------------------------
@@ -240,16 +246,16 @@ def grasp(
 
     # A: travel above the target, opening the fingers (robot.py:580-596).
     scene = _phase(scene, gate(_grip(above, tool_yaw, zero_tilt, 0.0)),
-                   STEPS_MOVE_ABOVE, p)
+                   p.steps_move_above, p)
     # B: pre-close to the computed aperture (robot.py:607).
     scene = _phase(scene, gate(_grip(above, tool_yaw, zero_tilt, pre_curl)),
-                   STEPS_PRECLOSE, p)
+                   p.steps_preclose, p)
     # C: descend (robot.py:609).
     scene = _phase(scene, gate(_grip(down, tool_yaw, zero_tilt, pre_curl)),
-                   STEPS_DESCEND, p)
+                   p.steps_descend, p)
     # D: squeeze (robot.py:611-619).
     scene = _phase(scene, gate(_grip(down, tool_yaw, zero_tilt, final_curl)),
-                   STEPS_SQUEEZE, p)
+                   p.steps_squeeze, p)
     # Capture (Vortex finger-cage equilibrium -> geometric weld).
     cap = _envelop_capture_mask(scene, pre_curl, final_curl) & enabled
     scene = scene.replace(
@@ -259,7 +265,7 @@ def grasp(
     )
     # E: lift (robot.py:621).
     scene = _phase(scene, gate(_grip(above, tool_yaw, zero_tilt, final_curl)),
-                   STEPS_LIFT, p)
+                   p.steps_lift, p)
     # Success: a held object above the lift threshold + immediate
     # teleport-out (check_grasp_success, robot.py:623,378-392).
     obj = scene.objects
@@ -326,13 +332,13 @@ def suction(
 
     # A: travel above + yaw (robot.py:684-689).
     scene = _phase(scene, gate(_grip(above, tool_yaw, jnp.zeros(2), curl)),
-                   STEPS_MOVE_ABOVE, p)
+                   p.steps_move_above, p)
     # B: pad-align tilt + posture (robot.py:692-693).
     scene = _phase(scene, gate(_grip(above, tool_yaw, tilt, curl)),
-                   STEPS_PAD_ALIGN, p)
+                   p.steps_pad_align, p)
     # C: descend to touch (robot.py:696).
     scene = _phase(scene, gate(_grip(touch, tool_yaw, tilt, curl)),
-                   STEPS_DESCEND, p)
+                   p.steps_descend, p)
     # Attach (suctionPad Lua active_true, robot.py:698).
     cap = _suction_capture_mask(scene, pad_id) & enabled
     attached_any = cap.any()
@@ -343,7 +349,7 @@ def suction(
     )
     # D: lift + untilt (robot.py:703-711).
     scene = _phase(scene, gate(_grip(above, tool_yaw, jnp.zeros(2), curl)),
-                   STEPS_LIFT, p)
+                   p.steps_lift, p)
     # The reference's suction success flag is the attach result itself
     # (robot.py:698-713).
     return scene, attached_any.astype(jnp.float32)
@@ -355,7 +361,7 @@ def grasp_first(
 ):
     """robot.grasp_first (robot.py:474-510): grasp -> bookkeeping -> 0/1."""
     scene, success, _ = grasp(scene, open_distance, position, rotation_angle, p)
-    scene = _finish(scene)
+    scene = _finish(scene, p)
     return scene, success
 
 
@@ -367,7 +373,7 @@ def suction_first(
         scene, position, rotation_angle, jnp.asarray(1.0), p
     )
     scene = _teleport_out_lifted(scene)
-    scene = _finish(scene)
+    scene = _finish(scene, p)
     return scene, success
 
 
@@ -389,7 +395,7 @@ def grasp_then_suction(
         scene, suction_position, suction_rotation_angle, finger_angle, p
     )
     scene = _teleport_out_lifted(scene)
-    scene = _finish(scene)
+    scene = _finish(scene, p)
     reward = jnp.where(
         (g_succ > 0) & (s_succ > 0), 2.5,
         jnp.where((g_succ > 0) | (s_succ > 0), 0.5, 0.0),

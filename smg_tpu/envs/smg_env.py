@@ -173,7 +173,7 @@ def execute(
         p, enabled=is_s | is_e,
     )
     scene = prim._teleport_out_lifted(scene, enabled=is_s | is_e)
-    scene = prim._finish(scene)
+    scene = prim._finish(scene, p)
 
     gs_reward = jnp.where(
         (g_succ > 0) & (s_succ > 0), 2.5,

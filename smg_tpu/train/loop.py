@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from smg_tpu.envs import primitives as prim
 from smg_tpu.envs import smg_env as env
 from smg_tpu.physics import scene as scene_mod
 from smg_tpu.physics import stepper
@@ -41,6 +42,9 @@ class LoopConfig:
     batch_size: int = 8
     explore_rate_decay: bool = False  # main.py:443
     reset_settle_steps: int = 100
+    primitive: prim.PrimitiveParams = field(
+        default_factory=prim.PrimitiveParams
+    )
 
 
 @struct.dataclass
@@ -205,7 +209,7 @@ def train_step(
         choice, obs
     )
     new_scenes, outcome = jax.vmap(
-        lambda s, c, g: env.execute(s, c, g)
+        lambda s, c, g: env.execute(s, c, g, cfg.primitive)
     )(state.scenes, choice, geom)
 
     # --- Counters (main.py:304-313, 420-422) ---
