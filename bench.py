@@ -1,8 +1,8 @@
 """Headline benchmark: physics throughput at 1024 parallel scenes.
 
-Measures the batched rigid-body stepper (contacts + integration + gripper
-FK) advancing 1024 scenes on one chip, reported as aggregate
-scene-steps/second. The baseline target is BASELINE.json's north star:
+Measures the batched rigid-body stepper (Pallas pairwise-contact kernel +
+SoA state prep + integration + gripper FK) advancing 1024 scenes on one
+chip, reported as aggregate scene-steps/second. The baseline target is BASELINE.json's north star:
 >= 10,000 physics steps/sec/chip at 1024 parallel scenes (the reference's
 CoppeliaSim/Vortex setup is RPC-bound at roughly real time for ONE scene —
 tens of steps/sec).
@@ -34,7 +34,7 @@ def main() -> None:
     batch = jax.block_until_ready(reset(keys))
 
     roll = jax.jit(
-        jax.vmap(lambda s: stepper.run_steps(s, s.gripper, steps_per_call))
+        lambda b: stepper.run_steps_batched(b, b.gripper, steps_per_call)
     )
     # Warmup (compile).
     batch = jax.block_until_ready(roll(batch))

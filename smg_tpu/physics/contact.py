@@ -178,3 +178,152 @@ def gripper_object_forces(
     torque = jnp.cross(arm, f).sum(axis=(1, 2))
     per_sphere_load = jnp.linalg.norm(f, axis=-1).sum(axis=(0, 1))  # (G,)
     return force, torque, per_sphere_load
+
+
+# ---------------------------------------------------------------------------
+# Fused flat-SoA contact sweep (the production path)
+# ---------------------------------------------------------------------------
+#
+# The class-by-class functions above keep the readable reference semantics
+# (and the unit tests); the stepper uses this fused version: all compound
+# spheres flattened to S = N*K rows, all force sources (object spheres +
+# gripper spheres) as T = N*K + G columns, and every pairwise quantity kept
+# as separate per-coordinate (S, T) matrices. Struct-of-arrays matters on
+# TPU: the nested (N, K, N, K, 3) broadcasts put a size-3 axis in the minor
+# dimension, which pads to the 128-lane register width and wastes ~40x the
+# HBM bandwidth.
+
+
+def fused_contact_forces(
+    obj: Objects,
+    grip_centers: jax.Array,  # (G, 3)
+    grip_radii: jax.Array,    # (G,)
+    grip_vels: jax.Array,     # (G, 3)
+    prm: ContactParams = DEFAULT_PARAMS,
+):
+    """Total contact force/torque on each object from the table, every
+    other object, and the kinematic gripper, in one sweep.
+
+    Returns (force (N, 3), torque (N, 3)).
+    """
+    centers, radii, vels = obj.world_spheres()  # (N, K, ...)
+    N, K = radii.shape
+    S = N * K
+    G = grip_centers.shape[0]
+
+    live = obj.active & ~obj.removed
+    receives = live & (obj.attached == 0)
+
+    # Row (receiver) side: object spheres.
+    cx = centers[..., 0].reshape(S)
+    cy = centers[..., 1].reshape(S)
+    cz = centers[..., 2].reshape(S)
+    vx = vels[..., 0].reshape(S)
+    vy = vels[..., 1].reshape(S)
+    vz = vels[..., 2].reshape(S)
+    r_row = radii.reshape(S)
+    owner = jnp.repeat(jnp.arange(N), K)                  # (S,)
+    m_row = jnp.repeat(obj.mass, K)
+    live_row = jnp.repeat(receives, K)
+
+    # Column (source) side: object spheres then gripper spheres.
+    sx = jnp.concatenate([cx, grip_centers[:, 0]])
+    sy = jnp.concatenate([cy, grip_centers[:, 1]])
+    sz = jnp.concatenate([cz, grip_centers[:, 2]])
+    svx = jnp.concatenate([vx, grip_vels[:, 0]])
+    svy = jnp.concatenate([vy, grip_vels[:, 1]])
+    svz = jnp.concatenate([vz, grip_vels[:, 2]])
+    r_col = jnp.concatenate([r_row, grip_radii])
+    owner_col = jnp.concatenate(
+        [owner, jnp.full((G,), -1, owner.dtype)]
+    )
+    live_col = jnp.concatenate(
+        [jnp.repeat(live, K), jnp.ones((G,), bool)]
+    )
+    is_grip_col = jnp.concatenate(
+        [jnp.zeros((S,), bool), jnp.ones((G,), bool)]
+    )
+    # Effective mass per pair for damping: harmonic for obj-obj, m_row for
+    # gripper (infinite source mass).
+    m_col = jnp.concatenate([m_row, jnp.full((G,), jnp.inf)])
+    mu_col = jnp.where(is_grip_col, prm.mu_gripper, prm.mu)
+
+    dx = cx[:, None] - sx[None, :]
+    dy = cy[:, None] - sy[None, :]
+    dz = cz[:, None] - sz[None, :]
+    dist2 = dx * dx + dy * dy + dz * dz
+    inv_dist = jax.lax.rsqrt(dist2 + 1e-18)
+    dist = dist2 * inv_dist
+    pen = (r_row[:, None] + r_col[None, :]) - dist
+
+    pair_ok = (
+        (owner[:, None] != owner_col[None, :])
+        & live_row[:, None]
+        & live_col[None, :]
+        & (pen > 0.0)
+    )
+
+    nx = dx * inv_dist
+    ny = dy * inv_dist
+    nz = dz * inv_dist
+    rvx = vx[:, None] - svx[None, :]
+    rvy = vy[:, None] - svy[None, :]
+    rvz = vz[:, None] - svz[None, :]
+    vn = jnp.clip(
+        rvx * nx + rvy * ny + rvz * nz, -prm.max_vn, prm.max_vn
+    )
+    meff = (m_row[:, None] * m_col[None, :]) / (
+        m_row[:, None] + m_col[None, :]
+    )
+    meff = jnp.where(jnp.isfinite(meff), meff, m_row[:, None])
+    cn = 2.0 * prm.zeta * jnp.sqrt(prm.kn * meff / prm.contact_share)
+    fn = jnp.maximum(
+        0.0, prm.kn * jnp.minimum(pen, prm.max_pen) - cn * vn
+    )
+    fn = jnp.where(pair_ok, fn, 0.0)
+
+    tx = rvx - vn * nx
+    ty = rvy - vn * ny
+    tz = rvz - vn * nz
+    vt2 = tx * tx + ty * ty + tz * tz
+    inv_vt = jax.lax.rsqrt(vt2 + 1e-18)
+    vt = vt2 * inv_vt
+    ft = mu_col[None, :] * fn * jnp.tanh(vt / prm.v_eps)
+
+    fx = fn * nx - ft * tx * inv_vt
+    fy = fn * ny - ft * ty * inv_vt
+    fz = fn * nz - ft * tz * inv_vt
+
+    # Table contact per row sphere (added before the per-object reduce).
+    pen_t = r_row - (cz - prm.table_z)
+    vn_t = jnp.clip(vz, -prm.max_vn, prm.max_vn)
+    cn_t = 2.0 * prm.zeta * jnp.sqrt(prm.kn * m_row / prm.contact_share)
+    fn_t = jnp.maximum(
+        0.0, prm.kn * jnp.minimum(pen_t, prm.max_pen) - cn_t * vn_t
+    )
+    fn_t = jnp.where((pen_t > 0.0) & live_row, fn_t, 0.0)
+    vtm = jnp.sqrt(vx * vx + vy * vy + 1e-18)
+    ft_t = prm.mu * fn_t * jnp.tanh(vtm / prm.v_eps) / vtm
+
+    fsx = fx.sum(axis=1) - ft_t * vx
+    fsy = fy.sum(axis=1) - ft_t * vy
+    fsz = fz.sum(axis=1) + fn_t
+
+    # Torques about each owner's COM.
+    ox = jnp.repeat(obj.pos[:, 0], K)
+    oy = jnp.repeat(obj.pos[:, 1], K)
+    oz = jnp.repeat(obj.pos[:, 2], K)
+    ax, ay, az = cx - ox, cy - oy, cz - oz
+    tqx = ay * fsz - az * fsy
+    tqy = az * fsx - ax * fsz
+    tqz = ax * fsy - ay * fsx
+
+    force = jnp.stack(
+        [fsx.reshape(N, K).sum(1), fsy.reshape(N, K).sum(1),
+         fsz.reshape(N, K).sum(1)], axis=-1,
+    )
+    torque = jnp.stack(
+        [tqx.reshape(N, K).sum(1), tqy.reshape(N, K).sum(1),
+         tqz.reshape(N, K).sum(1)], axis=-1,
+    )
+    return force, torque

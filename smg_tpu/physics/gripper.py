@@ -184,3 +184,60 @@ def tool_angle_for_grasp(rotation_angle: jax.Array) -> jax.Array:
         rotation_angle - jnp.pi / 4,
         rotation_angle - 3 * jnp.pi / 4,
     )
+
+
+def collider_spheres_soa(pos_b, yaw_b, tilt_b, curl_b):
+    """Batched SoA collider spheres: scenes in the minor axis.
+
+    Args: pos_b (B, 3), yaw_b (B,), tilt_b (B, 2), curl_b (B,).
+    Returns (gx, gy, gz) each (G, B) and radii (G,) (shared).
+
+    Same FK as collider_spheres, laid out for the Pallas contact kernel
+    (lane axis = scenes); the (3, 3) tool rotation is applied via its nine
+    (B,) components so no trailing-3 arrays are materialized.
+    """
+    B = yaw_b.shape[0]
+    r_j, z_j = tendon.finger_chain_points(curl_b)  # (B, 5)
+    r_mid = 0.5 * (r_j[:, :-1] + r_j[:, 1:])
+    z_mid = 0.5 * (z_j[:, :-1] + z_j[:, 1:])
+    r_chain = jnp.concatenate([r_j, r_mid], axis=1).T  # (9, B)
+    z_chain = jnp.concatenate([z_j, z_mid], axis=1).T
+
+    ca = jnp.cos(FINGER_AZIMUTHS)[:, None, None]  # (4, 1, 1)
+    sa = jnp.sin(FINGER_AZIMUTHS)[:, None, None]
+    fx = (ca * r_chain[None]).reshape(-1, B)      # (36, B)
+    fy = (sa * r_chain[None]).reshape(-1, B)
+    fz = jnp.broadcast_to(
+        -PALM_DROP - z_chain[None], (N_FINGERS,) + z_chain.shape
+    ).reshape(-1, B)
+
+    lx = jnp.concatenate([jnp.zeros((1, B)), fx])  # (G, B) local coords
+    ly = jnp.concatenate([jnp.zeros((1, B)), fy])
+    lz = jnp.concatenate([jnp.zeros((1, B)), fz])
+
+    # Tool rotation components (B,) each.
+    cy_, sy_ = jnp.cos(yaw_b), jnp.sin(yaw_b)
+    cx_, sx_ = jnp.cos(tilt_b[:, 0]), jnp.sin(tilt_b[:, 0])
+    cb_, sb_ = jnp.cos(tilt_b[:, 1]), jnp.sin(tilt_b[:, 1])
+    # R = Rz(yaw) @ Rx(tx) @ Ry(ty), matching Gripper.tool_rotm.
+    r00 = cy_ * cb_ - sy_ * sx_ * sb_
+    r01 = -sy_ * cx_
+    r02 = cy_ * sb_ + sy_ * sx_ * cb_
+    r10 = sy_ * cb_ + cy_ * sx_ * sb_
+    r11 = cy_ * cx_
+    r12 = sy_ * sb_ - cy_ * sx_ * cb_
+    r20 = -cx_ * sb_
+    r21 = sx_
+    r22 = cx_ * cb_
+
+    gx = pos_b[:, 0][None] + r00[None] * lx + r01[None] * ly + r02[None] * lz
+    gy = pos_b[:, 1][None] + r10[None] * lx + r11[None] * ly + r12[None] * lz
+    gz = pos_b[:, 2][None] + r20[None] * lx + r21[None] * ly + r22[None] * lz
+
+    radii = jnp.concatenate(
+        [
+            jnp.array([PALM_RADIUS]),
+            jnp.full((N_FINGERS * SPHERES_PER_FINGER,), FINGER_RADIUS),
+        ]
+    )
+    return gx, gy, gz, radii

@@ -97,14 +97,20 @@ def physics_step(
     c_old, _ = gr.collider_spheres(g_old)
     g_vels = (c_new - c_old) / p.dt
 
-    # Forces.
-    f_tab, tau_tab = ct.table_forces(obj, p.contact)
-    f_oo, tau_oo = ct.object_object_forces(obj, p.contact)
-    f_gr, tau_gr, _ = ct.gripper_object_forces(obj, c_new, radii, g_vels, p.contact)
+    # Forces: one fused SoA sweep over table + object-object +
+    # gripper-object contacts (see contact.fused_contact_forces).
+    force, torque = ct.fused_contact_forces(
+        obj, c_new, radii, g_vels, p.contact
+    )
+    new_obj = _integrate_objects(obj, force, torque, g_new, p)
+    return scene.replace(objects=new_obj, gripper=g_new, t=scene.t + 1)
 
-    force = f_tab + f_oo + f_gr
-    torque = tau_tab + tau_oo + tau_gr
 
+def _integrate_objects(
+    obj: Objects, force: jax.Array, torque: jax.Array, g_new: Gripper,
+    p: StepperParams,
+) -> Objects:
+    """Semi-implicit integration + attachment kinematics for one scene."""
     live = obj.active & ~obj.removed
     free = live & (obj.attached == FREE)
 
@@ -118,14 +124,17 @@ def physics_step(
     vel = jnp.where(free[:, None], vel, 0.0)
     pos = obj.pos + p.dt * vel
 
-    # Angular integration: I_world w_dot = tau - w x (I_world w).
+    # Angular integration: I_world w_dot = tau - w x (I_world w). The body
+    # inertia is diagonal, so I_world^-1 = R diag(1/I) R^T in closed form
+    # (a batched tiny LU solve is far slower on TPU).
     R = rot.quat2rotm(obj.quat)  # (N, 3, 3)
-    Iw = jnp.einsum("nij,nj,nkj->nik", R, obj.inertia, R)  # R diag(I) R^T
-    Lw = jnp.einsum("nij,nj->ni", Iw, obj.omega)
-    tau_eff = torque - jnp.cross(obj.omega, Lw)
-    omega_dot = jnp.linalg.solve(
-        Iw + 1e-10 * jnp.eye(3), tau_eff[..., None]
-    ).squeeze(-1)
+    w_body = jnp.einsum("nji,nj->ni", R, obj.omega)
+    L_world = jnp.einsum("nij,nj->ni", R, obj.inertia * w_body)
+    tau_eff = torque - jnp.cross(obj.omega, L_world)
+    tau_body = jnp.einsum("nji,nj->ni", R, tau_eff)
+    omega_dot = jnp.einsum(
+        "nij,nj->ni", R, tau_body / jnp.maximum(obj.inertia, 1e-10)
+    )
     omega = obj.omega + p.dt * omega_dot
     omega = omega * (1.0 - p.ang_damping * p.dt)
     wmag = jnp.linalg.norm(omega, axis=-1, keepdims=True)
@@ -141,8 +150,7 @@ def physics_step(
     pos = jnp.where(is_att[:, None], att_pos, pos)
     quat = jnp.where(is_att[:, None], att_quat, quat)
 
-    new_obj = obj.replace(pos=pos, quat=quat, vel=vel, omega=omega)
-    return scene.replace(objects=new_obj, gripper=g_new, t=scene.t + 1)
+    return obj.replace(pos=pos, quat=quat, vel=vel, omega=omega)
 
 
 def run_steps(
@@ -240,3 +248,172 @@ def sim_stable(g: Gripper, margin: float = 0.1) -> jax.Array:
         & (tip[2] > wl[2, 0])
         & (tip[2] < wl[2, 1])
     )
+
+# ---------------------------------------------------------------------------
+# Batched fast path: SoA state prep + Pallas pairwise kernel
+# ---------------------------------------------------------------------------
+#
+# `physics_step` above is the readable per-scene reference path (vmap it for
+# modest batches / CPU tests). For production-scale scene batches the
+# pairwise contact sweep runs in the Pallas kernel
+# (smg_tpu.ops.contact_pallas): state is transposed once per step into
+# scene-minor SoA arrays, the kernel keeps all O(S*T) pair terms on-chip,
+# and integration reuses the per-scene helper under vmap (it is cheap).
+
+
+def _world_spheres_soa(obj: Objects):
+    """Batched world spheres, scenes minor.
+
+    obj: batched Objects with leading B. Returns 9 arrays:
+    cx cy cz vx vy vz (S, B), plus radii (S, B), mass (S, B), live (S, B).
+    """
+    B, N, K = obj.sph_radii.shape
+    S = N * K
+
+    def t(x):  # (B, N) -> (N, B)
+        return jnp.transpose(x, (1, 0))
+
+    # Rotation components from quats, all (N, B).
+    qw, qx, qy, qz = (t(obj.quat[..., i]) for i in range(4))
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+
+    ox = jnp.transpose(obj.sph_offsets[..., 0], (1, 2, 0))  # (N, K, B)
+    oy = jnp.transpose(obj.sph_offsets[..., 1], (1, 2, 0))
+    oz = jnp.transpose(obj.sph_offsets[..., 2], (1, 2, 0))
+    px, py, pz = (t(obj.pos[..., i]) for i in range(3))
+
+    # Rotated offsets (arm vectors), (N, K, B).
+    ax = r00[:, None] * ox + r01[:, None] * oy + r02[:, None] * oz
+    ay = r10[:, None] * ox + r11[:, None] * oy + r12[:, None] * oz
+    az = r20[:, None] * ox + r21[:, None] * oy + r22[:, None] * oz
+    cx = (px[:, None] + ax).reshape(S, B)
+    cy = (py[:, None] + ay).reshape(S, B)
+    cz = (pz[:, None] + az).reshape(S, B)
+
+    lvx, lvy, lvz = (t(obj.vel[..., i]) for i in range(3))
+    wx, wy, wz = (t(obj.omega[..., i]) for i in range(3))
+    vx = (lvx[:, None] + wy[:, None] * az - wz[:, None] * ay).reshape(S, B)
+    vy = (lvy[:, None] + wz[:, None] * ax - wx[:, None] * az).reshape(S, B)
+    vz = (lvz[:, None] + wx[:, None] * ay - wy[:, None] * ax).reshape(S, B)
+
+    rad = jnp.transpose(obj.sph_radii, (1, 2, 0)).reshape(S, B)
+    mass = jnp.repeat(t(obj.mass), K, axis=0)
+    live = obj.active & ~obj.removed
+    live_s = jnp.repeat(t(live).astype(cx.dtype), K, axis=0)
+    arm = (ax.reshape(S, B), ay.reshape(S, B), az.reshape(S, B))
+    return (cx, cy, cz, vx, vy, vz, rad, mass, live_s), arm
+
+
+def physics_step_batched(
+    scenes: Scene,
+    gripper_target: Gripper,
+    p: StepperParams = DEFAULT,
+    interpret: bool = False,
+) -> Scene:
+    """One physics step for a batched Scene (leading B, B % 128 == 0)."""
+    from smg_tpu.ops import contact_pallas
+
+    obj = scenes.objects
+    B, N, K = obj.sph_radii.shape
+    S = N * K
+
+    g_new = jax.vmap(lambda g, t: _servo_gripper(g, t, p))(
+        scenes.gripper, gripper_target
+    )
+    # SoA gripper spheres now and previous (for FD velocities).
+    gx1, gy1, gz1, grad = gr.collider_spheres_soa(
+        g_new.pos, g_new.yaw, g_new.tilt, g_new.curl
+    )
+    gx0, gy0, gz0, _ = gr.collider_spheres_soa(
+        scenes.gripper.pos, scenes.gripper.yaw, scenes.gripper.tilt,
+        scenes.gripper.curl,
+    )
+    gvx = (gx1 - gx0) / p.dt
+    gvy = (gy1 - gy0) / p.dt
+    gvz = (gz1 - gz0) / p.dt
+    G = grad.shape[0]
+
+    row, arm = _world_spheres_soa(obj)
+    cx, cy, cz, vx, vy, vz, rad, mass, live_s = row
+    # Receivers exclude attached objects (their pose is kinematic).
+    receives = (obj.active & ~obj.removed & (obj.attached == FREE))
+    recv_s = jnp.repeat(
+        jnp.transpose(receives, (1, 0)).astype(cx.dtype), K, axis=0
+    )
+    row_state = (cx, cy, cz, vx, vy, vz, rad, mass, recv_s)
+
+    ones_g = jnp.ones((G, B), cx.dtype)
+    col_state = (
+        jnp.concatenate([cx, gx1]),
+        jnp.concatenate([cy, gy1]),
+        jnp.concatenate([cz, gz1]),
+        jnp.concatenate([vx, gvx]),
+        jnp.concatenate([vy, gvy]),
+        jnp.concatenate([vz, gvz]),
+        jnp.concatenate([rad, grad[:, None] * ones_g]),
+        jnp.concatenate([mass, ones_g]),
+        jnp.concatenate([live_s, ones_g]),
+    )
+
+    prm = p.contact
+    fx, fy, fz = contact_pallas.pairwise_forces(
+        row_state, col_state, K,
+        kn=prm.kn, zeta=prm.zeta, share=prm.contact_share, mu=prm.mu,
+        mu_grip=prm.mu_gripper, v_eps=prm.v_eps, max_pen=prm.max_pen,
+        max_vn=prm.max_vn, interpret=interpret,
+    )
+
+    # Table contact per row sphere (SoA, XLA).
+    pen_t = rad - (cz - prm.table_z)
+    vn_t = jnp.clip(vz, -prm.max_vn, prm.max_vn)
+    cn_t = 2.0 * prm.zeta * jnp.sqrt(prm.kn * mass / prm.contact_share)
+    fn_t = jnp.maximum(
+        0.0, prm.kn * jnp.minimum(pen_t, prm.max_pen) - cn_t * vn_t
+    )
+    fn_t = jnp.where((pen_t > 0.0) & (recv_s > 0.0), fn_t, 0.0)
+    vtm = jnp.sqrt(vx * vx + vy * vy + 1e-18)
+    ft_t = prm.mu * fn_t * jnp.tanh(vtm / prm.v_eps) / vtm
+    fx = fx - ft_t * vx
+    fy = fy - ft_t * vy
+    fz = fz + fn_t
+
+    # Torques about COM + per-object reduction (scene-minor SoA).
+    ax, ay, az = arm
+    tqx = (ay * fz - az * fy).reshape(N, K, B).sum(1)
+    tqy = (az * fx - ax * fz).reshape(N, K, B).sum(1)
+    tqz = (ax * fy - ay * fx).reshape(N, K, B).sum(1)
+    fox = fx.reshape(N, K, B).sum(1)
+    foy = fy.reshape(N, K, B).sum(1)
+    foz = fz.reshape(N, K, B).sum(1)
+
+    force = jnp.stack([fox, foy, foz], axis=-1).transpose(1, 0, 2)  # (B,N,3)
+    torque = jnp.stack([tqx, tqy, tqz], axis=-1).transpose(1, 0, 2)
+
+    new_obj = jax.vmap(
+        lambda o, f, t, g: _integrate_objects(o, f, t, g, p)
+    )(obj, force, torque, g_new)
+    return scenes.replace(objects=new_obj, gripper=g_new, t=scenes.t + 1)
+
+
+def run_steps_batched(
+    scenes: Scene,
+    gripper_target: Gripper,
+    n_steps: int,
+    p: StepperParams = DEFAULT,
+    interpret: bool = False,
+) -> Scene:
+    """Batched scan of physics_step_batched (the bench / large-batch path)."""
+
+    def body(s, _):
+        return physics_step_batched(s, gripper_target, p, interpret), None
+
+    out, _ = jax.lax.scan(body, scenes, None, length=n_steps)
+    return out

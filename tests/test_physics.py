@@ -237,3 +237,47 @@ class TestGripperFK:
         assert abs(a - (jnp.pi / 3 - jnp.pi / 4)) < 1e-6
         a2 = float(gr.tool_angle_for_grasp(jnp.asarray(2.0)))
         assert abs(a2 - (2.0 - 3 * jnp.pi / 4)) < 1e-6
+
+
+class TestPallasBatchedStepper:
+    def test_matches_reference_path(self):
+        """run_steps_batched (Pallas kernel, interpret on CPU) must be
+        bit-equivalent to vmapped physics_step."""
+        keys = jax.random.split(jax.random.PRNGKey(2), 128)
+        batch = jax.vmap(lambda k: sc.reset_scene(k, settle_steps=20))(keys)
+        ref = jax.vmap(lambda s: stepper.run_steps(s, s.gripper, 5))(batch)
+        fast = stepper.run_steps_batched(
+            batch, batch.gripper, 5, interpret=True
+        )
+        for name in ("pos", "vel", "quat", "omega"):
+            a = np.asarray(getattr(ref.objects, name))
+            b = np.asarray(getattr(fast.objects, name))
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+    def test_batched_with_attached_and_moving_gripper(self):
+        """Attachment kinematics + servo agree between the two paths."""
+        keys = jax.random.split(jax.random.PRNGKey(3), 128)
+        batch = jax.vmap(lambda k: sc.reset_scene(k, settle_steps=20))(keys)
+        obj = batch.objects
+        obj = jax.vmap(
+            lambda o, g: stepper.attach(
+                o, g, jnp.arange(12) == 0, jnp.asarray(ATTACHED_GRASP)
+            )
+        )(obj, batch.gripper)
+        batch = batch.replace(objects=obj)
+        tgt = jax.vmap(
+            lambda g: Gripper(
+                pos=g.pos + jnp.array([0.05, -0.03, 0.02]),
+                yaw=g.yaw + 0.4, tilt=g.tilt, curl=g.curl + 0.3,
+            )
+        )(batch.gripper)
+        ref = jax.vmap(lambda s, t: stepper.run_steps(s, t, 8))(batch, tgt)
+        fast = stepper.run_steps_batched(batch, tgt, 8, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(ref.objects.pos), np.asarray(fast.objects.pos),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.gripper.pos), np.asarray(fast.gripper.pos),
+            atol=1e-6,
+        )
