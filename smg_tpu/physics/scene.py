@@ -59,7 +59,7 @@ def spawn_objects(key: jax.Array, is_cluttered: bool = False,
                   is_testing: bool = False) -> Objects:
     """Sample a fresh object set into the fixed slots (no settling yet)."""
     del is_testing  # same catalogs for now; split catalogs are a config knob
-    k_ng, k_ns, k_cat, k_cells, k_yaw, k_tip, k_col = jax.random.split(key, 7)
+    k_ng, k_ns, k_cat, k_cells, k_yaw, k_tip = jax.random.split(key, 6)
 
     # Counts: 0-5 enveloping; 1-5 sucking when no enveloping objects.
     n_g = jax.random.randint(k_ng, (), 0, 6)
@@ -108,7 +108,9 @@ def spawn_objects(key: jax.Array, is_cluttered: bool = False,
     mass, inertia = jax.vmap(shapes.mass_properties)(shape_type, half_extents)
     sph_off, sph_r = jax.vmap(shapes.sphere_compound)(shape_type, half_extents)
 
-    color = _COLORS[jax.random.permutation(k_col, N_SLOTS)]
+    # Stable slot -> color mapping: slot identity must be inferable from
+    # appearance for the learned fixed-slot segmenter to be well-posed.
+    color = _COLORS
 
     base = Objects.empty(N_SLOTS)
     return base.replace(
