@@ -150,18 +150,32 @@ class Trainer:
     ) -> SceneScores:
         """Score one scene: (224, 224) masked depth + (N, 224, 224) masks.
 
-        The per-object styles 0/1 run as one N-wide batch each; ETS pairs
-        run in chunks of cfg.pair_chunk.
+        The per-object styles 0/1 run as one N-wide batch each, with the
+        scene stream rotated for each of cfg.model.num_rotations (the
+        in-network rotation of reference models.py:85-93, generalized past
+        the reference's fixed 1); ETS pairs run in chunks of
+        cfg.pair_chunk at rotation 0 (models.py:128 pins rotate_idx = 0).
         """
         cfg = self.cfg
-        scene_in = self._prep(scene_depth)[None]  # (1, S, S, 3)
+        R = cfg.model.num_rotations
+        scene_img = self._prep(scene_depth)  # (S, S, 3)
         obj_depths = scene_depth[None] * masks  # (N, 224, 224)
         obj_ins = jax.vmap(self._prep)(obj_depths)[None]  # (1, N, S, S, 3)
 
-        gra = self._apply(params, stats, scene_in, obj_ins, STYLE_GRASP)
-        suc = self._apply(params, stats, scene_in, obj_ins, STYLE_SUCTION)
-        gra_conf = self._postprocess(gra[0])  # (N, R=1)
-        suc_conf = self._postprocess(suc[0])
+        gra_rots, suc_rots = [], []
+        for r in range(R):
+            theta = jnp.asarray(r * (2.0 * jnp.pi / R))
+            rot_img = (
+                scene_img if r == 0
+                else aff.rotate_image_nearest(scene_img, theta)
+            )[None]
+            gra = self._apply(params, stats, rot_img, obj_ins, STYLE_GRASP)
+            suc = self._apply(params, stats, rot_img, obj_ins, STYLE_SUCTION)
+            gra_rots.append(self._postprocess(gra[0])[:, 0])
+            suc_rots.append(self._postprocess(suc[0])[:, 0])
+        scene_in = scene_img[None]
+        gra_conf = jnp.stack(gra_rots, axis=1)  # (N, R)
+        suc_conf = jnp.stack(suc_rots, axis=1)
 
         gs_conf = jnp.full((N_SLOTS, N_SLOTS), -100.0)
         if cfg.is_ets:
@@ -273,9 +287,17 @@ class Trainer:
             exploit == ACTION_GRASP, STYLE_GRASP,
             jnp.where(exploit == ACTION_SUCTION, STYLE_SUCTION, STYLE_ETS),
         )
+        # The exploit action's rotation index (specific_rotation of
+        # trainer.py:261-269); identity at num_rotations = 1.
+        rot_idx = jnp.where(
+            exploit == ACTION_GRASP, next_choice.bestg_id[:, 1],
+            jnp.where(exploit == ACTION_SUCTION,
+                      next_choice.bests_id[:, 1],
+                      next_choice.bestgs_g_id[:, 1]),
+        )
         future = self._eval_styled(
             state.target_params, state.batch_stats, next_scene_depths,
-            exec_mask, style,
+            exec_mask, style, rot_idx,
         )
 
         # Zero rules (trainer.py:248-251).
@@ -292,14 +314,25 @@ class Trainer:
         future = jnp.where(~any_succ | cleared, 0.0, future)
         return r + self.cfg.future_reward_discount * future, r
 
-    def _eval_styled(self, params, stats, scene_depths, exec_masks, styles):
+    def _eval_styled(self, params, stats, scene_depths, exec_masks, styles,
+                     rotations=None):
         """Q/confidence of (scene, mask) pairs whose style varies per scene.
 
         Evaluates all three styles and selects — styles are trace-time
-        values under vmap. (B, 224, 224) x2 + (B,) -> (B,).
+        values under vmap. (B, 224, 224) x2 + (B,) -> (B,). `rotations`
+        rotates the scene stream by idx * 2pi / num_rotations (identity
+        when num_rotations == 1).
         """
-        def one(scene_depth, mask, style):
-            scene_in = self._prep(scene_depth)[None]
+        R = self.cfg.model.num_rotations
+        if rotations is None:
+            rotations = jnp.zeros((scene_depths.shape[0],), jnp.int32)
+
+        def one(scene_depth, mask, style, rot_idx):
+            scene_img = self._prep(scene_depth)
+            if R > 1:
+                theta = rot_idx.astype(jnp.float32) * (2.0 * jnp.pi / R)
+                scene_img = aff.rotate_image_nearest(scene_img, theta)
+            scene_in = scene_img[None]
             mask_in = self._prep(scene_depth * mask)[None, None]
             outs = [
                 self._postprocess(
@@ -313,7 +346,8 @@ class Trainer:
             )
 
         return jax.lax.map(
-            lambda args: one(*args), (scene_depths, exec_masks, styles),
+            lambda args: one(*args),
+            (scene_depths, exec_masks, styles, rotations),
             batch_size=self.cfg.scene_chunk,
         )
 
