@@ -13,7 +13,6 @@ from __future__ import annotations
 import functools
 
 import jax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from smg_tpu.parallel import mesh as mesh_mod
 from smg_tpu.train import loop as train_loop

@@ -24,8 +24,6 @@ from smg_tpu.core import rotation as rot
 from smg_tpu.physics import contact as ct
 from smg_tpu.physics import gripper as gr
 from smg_tpu.physics.state import (
-    ATTACHED_GRASP,
-    ATTACHED_SUCTION,
     FREE,
     Gripper,
     Objects,

@@ -11,7 +11,6 @@ instead of the exact id-buffer.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from smg_tpu.core import camera as cam

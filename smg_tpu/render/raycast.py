@@ -7,7 +7,6 @@ Everything vmaps over rays and objects and fuses into one XLA kernel.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from smg_tpu.physics import shapes

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 BACKUP_NAME = "backup"  # rolling snapshot (logger.save_backup_model parity)

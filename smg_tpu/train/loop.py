@@ -28,7 +28,6 @@ from smg_tpu.physics import stepper
 from smg_tpu.physics.state import Scene
 from smg_tpu.policy import arbitrate as arb
 from smg_tpu.policy.arbitrate import (
-    ACTION_ETS,
     ACTION_GRASP,
     ACTION_SUCTION,
     ActionChoice,

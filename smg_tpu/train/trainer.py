@@ -41,7 +41,6 @@ from smg_tpu.models.affordance import (
 )
 from smg_tpu.physics.state import N_SLOTS
 from smg_tpu.policy.arbitrate import (
-    ACTION_ETS,
     ACTION_GRASP,
     ACTION_SUCTION,
     ActionChoice,
