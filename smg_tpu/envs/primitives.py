@@ -193,6 +193,61 @@ def _finish(scene: Scene, p: PrimitiveParams = None) -> Scene:
 
 
 # ---------------------------------------------------------------------------
+# Stage parameter computation (shared by the per-scene and batched paths)
+# ---------------------------------------------------------------------------
+
+
+def grasp_stage_params(open_distance, position, rotation_angle):
+    """Per-scene scalars for the enveloping sequence (robot.py:555-619)."""
+    tool_yaw = gr.tool_angle_for_grasp(rotation_angle)
+    factor = jnp.where(open_distance < 0.08, 1.3, 1.2)
+    pre_curl = tendon.pre_rotate_angle(open_distance * factor)
+    final_curl = jnp.where(
+        open_distance < 0.08, jnp.asarray(FULL_CLOSE), pre_curl + jnp.pi / 5
+    )
+    final_curl = jnp.minimum(final_curl, FULL_CLOSE)
+    descend_z = TIP_TARGET_Z + gr.cage_depth(pre_curl)
+    above = jnp.stack(
+        [position[0], position[1], descend_z + APPROACH_MARGIN]
+    )
+    down = jnp.stack([position[0], position[1], descend_z])
+    return tool_yaw, pre_curl, final_curl, above, down
+
+
+def suction_stage_params(cur_curl, position, rotation_angle, finger_angle):
+    """Per-scene scalars for the sucking sequence (robot.py:629-696)."""
+    pad_id = gr.suction_pad_for_yaw(rotation_angle)
+    tool_yaw = gr.tool_angle_for_suction(rotation_angle)
+    curl = jnp.where(
+        finger_angle == 1.0, jnp.asarray(FULL_CLOSE),
+        jnp.where(finger_angle == 0.0, cur_curl, finger_angle),
+    )
+    r_j, z_j = tendon.finger_chain_points(curl)
+    dr = r_j[..., -1] - r_j[..., -2]
+    dz = z_j[..., -1] - z_j[..., -2]
+    mis = jnp.arctan2(dr, dz)
+    tilt = jnp.stack(
+        [jnp.where(pad_id == 1, mis, jnp.where(pad_id == 3, -mis, 0.0)),
+         jnp.where(pad_id == 0, -mis, jnp.where(pad_id == 2, mis, 0.0))]
+    )
+    probe_g = _grip(jnp.zeros(3), tool_yaw, tilt, curl)
+    pad_off = gr.pad_tip_positions(probe_g)[pad_id]
+    touch = position + jnp.array([0.0, 0.0, -PAD_PRESS]) - pad_off
+    above = touch + jnp.array([0.0, 0.0, APPROACH_MARGIN])
+    return pad_id, tool_yaw, tilt, curl, touch, above
+
+
+def gate_target(target: Gripper, hold: Gripper, enabled) -> Gripper:
+    """Per-scene stage gating: disabled scenes hold the entry pose."""
+    return Gripper(
+        pos=jnp.where(enabled, target.pos, hold.pos),
+        yaw=jnp.where(enabled, target.yaw, hold.yaw),
+        tilt=jnp.where(enabled, target.tilt, hold.tilt),
+        curl=jnp.where(enabled, target.curl, hold.curl),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Primitives
 # ---------------------------------------------------------------------------
 
@@ -215,34 +270,13 @@ def grasp(
     """
     enabled = jnp.asarray(enabled)
     hold = scene.gripper
-    tool_yaw = gr.tool_angle_for_grasp(rotation_angle)
-
-    # Pre-close angle from the tendon model (robot.py:599-605).
-    factor = jnp.where(open_distance < 0.08, 1.3, 1.2)
-    pre_curl = tendon.pre_rotate_angle(open_distance * factor)
-    # Final squeeze (robot.py:611-619).
-    final_curl = jnp.where(
-        open_distance < 0.08,
-        jnp.asarray(FULL_CLOSE),
-        pre_curl + jnp.pi / 5,
+    tool_yaw, pre_curl, final_curl, above, down = grasp_stage_params(
+        open_distance, position, rotation_angle
     )
-    final_curl = jnp.minimum(final_curl, FULL_CLOSE)
-
-    # Palm heights: fingertips near the table during the descend.
-    descend_z = TIP_TARGET_Z + gr.cage_depth(pre_curl)
-    above = jnp.stack(
-        [position[0], position[1], descend_z + APPROACH_MARGIN]
-    )
-    down = jnp.stack([position[0], position[1], descend_z])
     zero_tilt = jnp.zeros(2)
 
     def gate(g: Gripper) -> Gripper:
-        return Gripper(
-            pos=jnp.where(enabled, g.pos, hold.pos),
-            yaw=jnp.where(enabled, g.yaw, hold.yaw),
-            tilt=jnp.where(enabled, g.tilt, hold.tilt),
-            curl=jnp.where(enabled, g.curl, hold.curl),
-        )
+        return gate_target(g, hold, enabled)
 
     # A: travel above the target, opening the fingers (robot.py:580-596).
     scene = _phase(scene, gate(_grip(above, tool_yaw, zero_tilt, 0.0)),
@@ -291,44 +325,12 @@ def suction(
     """
     enabled = jnp.asarray(enabled)
     hold = scene.gripper
-    pad_id = gr.suction_pad_for_yaw(rotation_angle)
-    tool_yaw = gr.tool_angle_for_suction(rotation_angle)
-
-    # Finger posture (robot.py:630-634).
-    cur = scene.gripper.curl
-    curl = jnp.where(
-        finger_angle == 1.0, jnp.asarray(FULL_CLOSE),
-        jnp.where(finger_angle == 0.0, cur, finger_angle),
+    pad_id, tool_yaw, tilt, curl, touch, above = suction_stage_params(
+        scene.gripper.curl, position, rotation_angle, finger_angle
     )
-
-    # Pad alignment: tilt the tool so the selected pad's axis points down
-    # (the relative-orientation correction loop, robot.py:671-693).
-    probe = _grip(scene.gripper.pos, tool_yaw, jnp.zeros(2), curl)
-    r_j, z_j = tendon.finger_chain_points(curl)
-    dr = r_j[..., -1] - r_j[..., -2]
-    dz = z_j[..., -1] - z_j[..., -2]
-    mis = jnp.arctan2(dr, dz)  # pad axis angle from straight-down (radial+)
-    # Tilt axis depends on the pad's azimuth: pad 0 (+x) needs rotation
-    # about -y to swing +x toward -z ... encoded per pad below.
-    tilt = jnp.stack(
-        [jnp.where(pad_id == 1, mis, jnp.where(pad_id == 3, -mis, 0.0)),
-         jnp.where(pad_id == 0, -mis, jnp.where(pad_id == 2, mis, 0.0))]
-    )
-    del probe
-
-    # Pad-tip offset below the palm for this posture.
-    probe_g = _grip(jnp.zeros(3), tool_yaw, tilt, curl)
-    pad_off = gr.pad_tip_positions(probe_g)[pad_id]  # offset from palm
-    touch = position + jnp.array([0.0, 0.0, -PAD_PRESS]) - pad_off
-    above = touch + jnp.array([0.0, 0.0, APPROACH_MARGIN])
 
     def gate(g: Gripper) -> Gripper:
-        return Gripper(
-            pos=jnp.where(enabled, g.pos, hold.pos),
-            yaw=jnp.where(enabled, g.yaw, hold.yaw),
-            tilt=jnp.where(enabled, g.tilt, hold.tilt),
-            curl=jnp.where(enabled, g.curl, hold.curl),
-        )
+        return gate_target(g, hold, enabled)
 
     # A: travel above + yaw (robot.py:684-689).
     scene = _phase(scene, gate(_grip(above, tool_yaw, jnp.zeros(2), curl)),

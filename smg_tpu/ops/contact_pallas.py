@@ -123,10 +123,27 @@ def pairwise_forces(
     v_eps: float, max_pen: float, max_vn: float,
     interpret: bool = False,
 ):
-    """Per-sphere contact forces (fx, fy, fz), each (S, B). B % 128 == 0."""
+    """Per-sphere contact forces (fx, fy, fz), each (S, B).
+
+    B is padded up to a lane multiple internally (padded lanes carry
+    live = 0 so they contribute nothing) and sliced back on return.
+    """
     S, B = row_state[0].shape
     T = col_state[0].shape[0]
-    assert B % LANE == 0, B
+    if B % LANE != 0:
+        pad = LANE - B % LANE
+        row_state = tuple(
+            jnp.pad(x, ((0, 0), (0, pad))) for x in row_state
+        )
+        col_state = tuple(
+            jnp.pad(x, ((0, 0), (0, pad))) for x in col_state
+        )
+        fx, fy, fz = pairwise_forces(
+            row_state, col_state, K, kn=kn, zeta=zeta, share=share, mu=mu,
+            mu_grip=mu_grip, v_eps=v_eps, max_pen=max_pen, max_vn=max_vn,
+            interpret=interpret,
+        )
+        return fx[:, :B], fy[:, :B], fz[:, :B]
 
     kern = functools.partial(
         _kernel, S=S, K=K, T=T, kn=kn, zeta=zeta, share=share, mu=mu,

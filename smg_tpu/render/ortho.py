@@ -56,27 +56,38 @@ def render_heightmap(obj: Objects, resolution: int = 224):
     d_world = jnp.array([0.0, 0.0, -1.0])
 
     Rm = rot.quat2rotm(obj.quat)  # (N, 3, 3)
-    # Object-frame ray origin/direction for every (object, pixel).
-    o_local = jnp.einsum(
-        "nji,pj->npi", Rm, origins
-    ) - jnp.einsum("nji,nj->ni", Rm, obj.pos)[:, None, :]
-    d_local = jnp.einsum("nji,j->ni", Rm, d_world)[:, None, :]  # (N, 1, 3)
-
-    t = raycast.ray_primitive(
-        o_local,
-        jnp.broadcast_to(d_local, o_local.shape),
-        obj.shape_type[:, None],
-        obj.half_extents[:, None, :],
-    )  # (N, P)
-
-    # Unit ray pointing down from RAY_TOP: surface height = RAY_TOP - t.
-    height = RAY_TOP - t
     visible = obj.on_table
-    height = jnp.where(visible[:, None], height, -jnp.inf)
-    height = jnp.where(jnp.isfinite(t), height, -jnp.inf)
+    n = obj.pos.shape[0]
+    P = origins.shape[0]
 
-    best = jnp.argmax(height, axis=0)  # (P,)
-    best_h = jnp.max(height, axis=0)
+    # Scan over object slots carrying the per-pixel z-buffer: peak memory
+    # is O(P), not O(N * P) — at large scene batches the dense (N, P, 3)
+    # ray intermediates otherwise dominate HBM.
+    def body(i, carry):
+        best_h, best_id = carry
+        o_local = (origins - obj.pos[i]) @ Rm[i]  # row-vector R^T transform
+        d_local = Rm[i].T @ d_world
+        t = raycast.ray_primitive(
+            o_local,
+            jnp.broadcast_to(d_local, o_local.shape),
+            obj.shape_type[i],
+            obj.half_extents[i],
+        )  # (P,)
+        height = RAY_TOP - t
+        height = jnp.where(
+            visible[i] & jnp.isfinite(t), height, -jnp.inf
+        )
+        take = height > best_h
+        return (
+            jnp.where(take, height, best_h),
+            jnp.where(take, i, best_id),
+        )
+
+    best_h, best = jax.lax.fori_loop(
+        0, n,
+        body,
+        (jnp.full((P,), -jnp.inf), jnp.zeros((P,), jnp.int32)),
+    )
     hit = best_h > 0.0
     depth = jnp.where(hit, best_h, 0.0).reshape(H, W)
     ids = jnp.where(hit, best, -1).reshape(H, W).astype(jnp.int32)

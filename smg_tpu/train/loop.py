@@ -44,6 +44,10 @@ class LoopConfig:
     primitive: prim.PrimitiveParams = field(
         default_factory=prim.PrimitiveParams
     )
+    # Primitive executor: "batched" rolls physics phases through the
+    # Pallas fast stepper (TPU), "vmap" uses the per-scene reference path,
+    # "auto" picks batched on TPU.
+    executor: str = "auto"
 
 
 @struct.dataclass
@@ -207,9 +211,19 @@ def train_step(
     geom = jax.vmap(lambda c, o: env.compute_geometry(c, o, ecfg))(
         choice, obs
     )
-    new_scenes, outcome = jax.vmap(
-        lambda s, c, g: env.execute(s, c, g, cfg.primitive)
-    )(state.scenes, choice, geom)
+    executor = cfg.executor
+    if executor == "auto":
+        executor = "batched" if jax.default_backend() == "tpu" else "vmap"
+    if executor == "batched":
+        from smg_tpu.envs import batched as batched_env
+
+        new_scenes, outcome = batched_env.execute_batched(
+            state.scenes, choice, geom, cfg.primitive
+        )
+    else:
+        new_scenes, outcome = jax.vmap(
+            lambda s, c, g: env.execute(s, c, g, cfg.primitive)
+        )(state.scenes, choice, geom)
 
     # --- Counters (main.py:304-313, 420-422) ---
     succ_any = jax.vmap(lambda o: o.any_success)(outcome)

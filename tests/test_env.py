@@ -223,3 +223,47 @@ class TestEnvPipeline:
             jnp.asarray(True), jnp.asarray(2), cfg,
         )
         assert bool(done_nc)
+
+
+class TestBatchedExecutor:
+    def test_matches_vmapped_execute(self):
+        """batched.execute_batched == vmap(env.execute), bit-for-bit
+        (interpret-mode Pallas on CPU)."""
+        from smg_tpu.envs import batched
+
+        cfg = env.EnvConfig(is_pe=True, is_oo=True, is_ets=True)
+
+        def build():
+            s = scene_with([
+                (shapes.BOX, (0.03, 0.015, 0.015), (-0.55, -0.08, 0.015), 0.0),
+                (shapes.BOX, (0.025, 0.025, 0.008), (-0.42, 0.10, 0.008), 0.0),
+            ])
+            return stepper.settle(s, 100)
+
+        scenes = jax.tree_util.tree_map(
+            lambda *x: jnp.stack(x), *[build() for _ in range(3)]
+        )
+        choices = jax.tree_util.tree_map(
+            lambda *x: jnp.stack(x),
+            *[choice_for(a, g_obj=0, s_obj=1)
+              for a in (ACTION_GRASP, ACTION_SUCTION, ACTION_ETS)],
+        )
+        obs = jax.vmap(env.observe)(scenes)
+        geom = jax.vmap(lambda c, o: env.compute_geometry(c, o, cfg))(
+            choices, obs
+        )
+        ref_s, ref_o = jax.vmap(lambda s, c, g: env.execute(s, c, g))(
+            scenes, choices, geom
+        )
+        bat_s, bat_o = batched.execute_batched(
+            scenes, choices, geom, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_o.grasp_success), np.asarray(bat_o.grasp_success)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_o.gs_success), np.asarray(bat_o.gs_success)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_s.objects.pos), np.asarray(bat_s.objects.pos)
+        )
