@@ -84,6 +84,16 @@ def main(argv=None) -> None:
     print("initializing scenes + model...")
     state = init_loop(key, trainer, cfg.loop)
 
+    if cfg.continue_logging:
+        # Resume: restore the latest full checkpoint from the reused run
+        # directory (the reference re-hydrated counters by re-parsing the
+        # transitions logs, trainer.preload at trainer.py:118-158; here the
+        # checkpoint carries the complete state incl. optimizer).
+        latest = ckpt.latest_step()
+        if latest is not None:
+            state = state.replace(trainer=ckpt.restore(state.trainer))
+            print(f"Resumed trainer state from checkpoint step {latest}")
+
     if cfg.load_snapshot and cfg.snapshot_file:
         params = checkpoints.load_params(
             cfg.snapshot_file, state.trainer.params
