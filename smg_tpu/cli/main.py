@@ -138,6 +138,11 @@ def main(argv=None) -> None:
 
     if not cfg.env.is_testing:
         ckpt.save(iteration, state.trainer)
+        # Params-only snapshot for --is_testing --load_snapshot
+        # (the reference's logger.save_model state_dict, logger.py:121-123).
+        snap = os.path.join(logger.models_directory, "snapshot")
+        checkpoints.save_params(snap, state.trainer.params)
+        print(f"snapshot: {snap}")
     logger.close()
     print(f"done: {iteration} iterations, {episodes} episodes")
 
