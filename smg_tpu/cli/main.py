@@ -120,7 +120,11 @@ def main(argv=None) -> None:
         log_step_metrics(logger, metrics, iteration)
         succ_rate = float(
             jax.device_get(
-                (metrics.grasp_success + metrics.suction_success).mean()
+                (
+                    (metrics.grasp_success > 0)
+                    | (metrics.suction_success > 0)
+                    | (metrics.gs_success > 0)
+                ).mean()
             )
         )
         print(

@@ -11,9 +11,10 @@ TPU-native equivalents of the reference's CPU/OpenCV perception front-end:
 
 On-device the orthographic rasterizer (smg_tpu.render.ortho) produces
 heightmaps directly, so this module is the *parity path*: it reproduces the
-reference's perspective-image pipeline bit-for-bit in XLA so a user can feed
-real RGB-D frames (or our perspective renderer's output) through the same
-projection the reference used.
+reference's perspective-image pipeline in XLA (same homographies, same
+INTER_LINEAR warps) so a user can feed real RGB-D frames (or our
+perspective renderer's output) through the same projection the reference
+used.
 """
 
 from __future__ import annotations
@@ -142,17 +143,18 @@ def get_heightmap(
     A_mask = hg.fit_homography(src, dst_mask)
     A_htor = hg.fit_homography(dst_hm, src)
 
+    # cv2.warpPerspective defaults to INTER_LINEAR (reference utils.py:62-65).
     color_hm = hg.warp_perspective(
-        color_img, A_hm, (HEIGHTMAP_SIZE, HEIGHTMAP_SIZE), mode="nearest"
+        color_img, A_hm, (HEIGHTMAP_SIZE, HEIGHTMAP_SIZE), mode="bilinear"
     )
     depth_hm = hg.warp_perspective(
-        world_z, A_hm, (HEIGHTMAP_SIZE, HEIGHTMAP_SIZE), mode="nearest"
+        world_z, A_hm, (HEIGHTMAP_SIZE, HEIGHTMAP_SIZE), mode="bilinear"
     )
     color_448 = hg.warp_perspective(
-        color_img, A_mask, (COLORMASK_SIZE, COLORMASK_SIZE), mode="nearest"
+        color_img, A_mask, (COLORMASK_SIZE, COLORMASK_SIZE), mode="bilinear"
     )
     depth_448 = hg.warp_perspective(
-        world_z, A_mask, (COLORMASK_SIZE, COLORMASK_SIZE), mode="nearest"
+        world_z, A_mask, (COLORMASK_SIZE, COLORMASK_SIZE), mode="bilinear"
     )
     return color_hm, depth_hm, color_448, depth_448, A_htor
 

@@ -226,9 +226,11 @@ def suction_stage_params(cur_curl, position, rotation_angle, finger_angle):
     dr = r_j[..., -1] - r_j[..., -2]
     dz = z_j[..., -1] - z_j[..., -2]
     mis = jnp.arctan2(dr, dz)
+    # Tilt that swings the selected pad's axis onto -z (verified: with the
+    # fully-curled posture mis = -52deg and pad 0 needs tilt_y = +mis).
     tilt = jnp.stack(
-        [jnp.where(pad_id == 1, mis, jnp.where(pad_id == 3, -mis, 0.0)),
-         jnp.where(pad_id == 0, -mis, jnp.where(pad_id == 2, mis, 0.0))]
+        [jnp.where(pad_id == 1, -mis, jnp.where(pad_id == 3, mis, 0.0)),
+         jnp.where(pad_id == 0, mis, jnp.where(pad_id == 2, -mis, 0.0))]
     )
     probe_g = _grip(jnp.zeros(3), tool_yaw, tilt, curl)
     pad_off = gr.pad_tip_positions(probe_g)[pad_id]

@@ -199,15 +199,21 @@ def ik_ok(scene: Scene, tol: float = 0.01) -> jax.Array:
 def episode_done(
     objects_number: jax.Array,
     no_change_count: jax.Array,   # (2,) [grasp-ish, suction]
-    prev_any_success: jax.Array,
     sim_ok: jax.Array,
     episode_succ: jax.Array,
+    episode_iter: jax.Array,
     cfg: EnvConfig,
 ) -> jax.Array:
-    """Episode termination predicate (main.py:121)."""
+    """Episode termination predicate (main.py:106,121).
+
+    The reference additionally guards the no-change cutoff with "and the
+    previous action failed"; the counters here reset to zero on success,
+    so no_change.sum() > limit already implies it.
+    """
     return (
         (objects_number == 0)
-        | ((no_change_count.sum() > cfg.no_change_limit) & ~prev_any_success)
+        | (no_change_count.sum() > cfg.no_change_limit)
         | ~sim_ok
         | (episode_succ >= cfg.max_episode_success)
+        | (episode_iter >= cfg.step_limit)
     )

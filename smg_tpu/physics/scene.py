@@ -59,7 +59,7 @@ def spawn_objects(key: jax.Array, is_cluttered: bool = False,
                   is_testing: bool = False) -> Objects:
     """Sample a fresh object set into the fixed slots (no settling yet)."""
     del is_testing  # same catalogs for now; split catalogs are a config knob
-    k_ng, k_ns, k_cat, k_cells, k_yaw, k_tip = jax.random.split(key, 6)
+    k_ng, k_ns, k_cat, k_cells, k_yaw, k_tax, k_tang = jax.random.split(key, 7)
 
     # Counts: 0-5 enveloping; 1-5 sucking when no enveloping objects.
     n_g = jax.random.randint(k_ng, (), 0, 6)
@@ -93,8 +93,8 @@ def spawn_objects(key: jax.Array, is_cluttered: bool = False,
     # Pose: drop height + random yaw, with a random slight tip so objects
     # settle into varied orientations (reference used random Euler spins).
     yaw = jax.random.uniform(k_yaw, (N_SLOTS,), minval=0.0, maxval=2 * jnp.pi)
-    tip_ax = jax.random.normal(k_tip, (N_SLOTS, 3))
-    tip_ang = jax.random.uniform(k_tip, (N_SLOTS,), minval=0.0, maxval=0.4)
+    tip_ax = jax.random.normal(k_tax, (N_SLOTS, 3))
+    tip_ang = jax.random.uniform(k_tang, (N_SLOTS,), minval=0.0, maxval=0.4)
     quat = rot.quat_mul(
         rot.quat_from_yaw(yaw), rot.quat_from_axis_angle(tip_ax, tip_ang)
     )

@@ -13,9 +13,10 @@ post-processing (reference code/utils.py:316-612):
   around the target, weighted exp(-dh/dist); the widest fully-free window
   >= 45 deg wins, iteratively re-admitting the least-occluding neighbors
   until one exists (value/angle thresholds 0.95 / 45 deg, utils.py:462).
-  The reference's Python run-length scan becomes a circular widest-run
-  reduction over a doubled 360-bin array; midpoints agree with the
-  reference to +-1 bin (its int truncations).
+  The reference's Python run-length scan becomes a branchless
+  fixed-shape selection with the same ordering: the 0/360-wrapping
+  window is preferred when its combined width clears the threshold,
+  otherwise the widest interior run (end - start >= 45) wins.
 
 Positions are recovered on the fast path via the linear heightmap-pixel ->
 world map (the ortho renderer lays pixels on the workspace grid); the
@@ -112,24 +113,56 @@ def _bearings_deg(points_px: jax.Array, center_px: jax.Array) -> jax.Array:
     return ang * (180.0 / jnp.pi)
 
 
-def _widest_free_run(free: jax.Array):
-    """Widest circular run of True in a (360,) mask.
+def _select_free_window(free: jax.Array):
+    """Reference-order free-window selection over a (360,) mask.
 
-    Returns (width (), midpoint_deg ()). Width capped at 360.
+    Parity with utils.py:475-494: the 0/360-wrapping window is checked
+    FIRST — if the mask is free on both sides of 0 and the combined width
+    angle_left + angle_right >= 45, its (asymmetric) midpoint wins even if
+    a wider interior run exists. Otherwise the widest linear run with
+    end - start >= 45 wins, midpoint (start + end) // 2. Returns
+    (found (bool), angle_deg (float)).
     """
-    f2 = jnp.concatenate([free, free]).astype(jnp.int32)
+    f = free.astype(jnp.int32)
+    n = f.shape[0]
 
+    # Leading / trailing free-bin counts.
+    leading = jnp.where(jnp.all(f == 1), n, jnp.argmin(f))
+    trailing = jnp.where(jnp.all(f == 1), n, jnp.argmin(f[::-1]))
+
+    # Wrap candidate (utils.py:475-484): angle_left = end index of the
+    # first run, angle_right = end - start of the last run.
+    angle_left = leading - 1
+    angle_right = trailing - 1
+    start_last = n - trailing
+    wrap_ok = (
+        (f[0] == 1) & (f[n - 1] == 1)
+        & ((angle_left + angle_right) >= ANGLE_THRESHOLD)
+    )
+    wrap_mid = jnp.where(
+        angle_left > angle_right,
+        angle_left - (angle_left + angle_right) // 2,
+        start_last + (angle_left + angle_right) // 2,
+    )
+
+    # Linear runs (utils.py:485-494): L[i] = run length ending at i.
     def body(carry, x):
         run = (carry + 1) * x
         return run, run
 
-    _, runs = jax.lax.scan(body, jnp.asarray(0, jnp.int32), f2)
-    runs = jnp.minimum(runs, 360)
-    end = jnp.argmax(runs)  # first occurrence of the max length
-    width = runs[end]
-    start = end - width + 1
-    mid = jnp.mod(start + (width - 1) // 2, 360)
-    return width, mid
+    _, runs = jax.lax.scan(body, jnp.asarray(0, jnp.int32), f)
+    is_end = (f == 1) & jnp.concatenate([f[1:] == 0, jnp.array([True])])
+    # end - start = L - 1 must be >= threshold.
+    widths = jnp.where(is_end & (runs - 1 >= ANGLE_THRESHOLD), runs, 0)
+    best_end = jnp.argmax(widths)
+    best_w = widths[best_end]
+    lin_ok = best_w > 0
+    start = best_end - best_w + 1
+    lin_mid = (start + best_end) // 2
+
+    found = wrap_ok | lin_ok
+    angle = jnp.where(wrap_ok, wrap_mid, lin_mid)
+    return found, jnp.mod(angle, n).astype(jnp.float32)
 
 
 def oo_suction_angle(
@@ -205,14 +238,12 @@ def oo_suction_angle(
         av = angle_val_for(admitted)
         # Rule 1: everything already tolerable -> angle 0 (utils.py:471-472).
         all_ok = av.min() >= VALUE_THRESHOLD
-        # Rule 2: widest fully-free window >= 45 deg (utils.py:485-494).
+        # Rule 2: free window selection, wrap-first (utils.py:475-494).
         free = av >= 1.0 - FREE_EPS
-        width, mid = _widest_free_run(free)
-        found = width >= ANGLE_THRESHOLD
+        found, mid = _select_free_window(free)
         new_result = jnp.where(
             done, result,
-            jnp.where(all_ok, 0.0, jnp.where(found, mid.astype(jnp.float32),
-                                             result)),
+            jnp.where(all_ok, 0.0, jnp.where(found, mid, result)),
         )
         new_done = done | all_ok | found
         # Relax: re-admit the least-occluding remaining neighbors

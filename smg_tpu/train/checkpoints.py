@@ -4,9 +4,12 @@ The reference checkpoints only the model state_dict (every 50 iterations +
 a rolling backup, reference logger.py:121-125, main.py:347-362) and
 re-hydrates experiment counters by re-parsing the transitions logs
 (trainer.preload, trainer.py:118-158); the optimizer state is lost across
-restarts. Here a checkpoint is the *entire* training state: params, target
-params, optimizer state, BN statistics, iteration, RNG key, episode
-counters and the batched scene state — resume is bit-exact.
+restarts. Here a checkpoint carries the full *trainer* state — params, target
+params, optimizer state, BN statistics and the iteration counter — so a
+resumed run continues learning exactly where it stopped (the reference
+lost optimizer state across restarts). Scenes, episode counters and the
+loop RNG are re-initialized on resume: episodes are i.i.d. draws, so this
+changes nothing statistically, but resume is not bit-identical replay.
 """
 
 from __future__ import annotations

@@ -243,14 +243,10 @@ def train_step(
     next_obs_number = jax.vmap(
         lambda s: (s.objects.active & ~s.objects.removed).sum()
     )(new_scenes)
-    sim_ok = jax.vmap(lambda s: stepper.sim_stable(s.gripper))(new_scenes)
-    done = (
-        (next_obs_number == 0)
-        | (no_change.sum(axis=1) > ecfg.no_change_limit)
-        | ~sim_ok
-        | (episode_succ >= ecfg.max_episode_success)
-        | (episode_iter >= ecfg.step_limit)
-    )
+    sim_ok = jax.vmap(env.ik_ok)(new_scenes)
+    done = jax.vmap(
+        lambda n, nc, ok, es, ei: env.episode_done(n, nc, ok, es, ei, ecfg)
+    )(next_obs_number, no_change, sim_ok, episode_succ, episode_iter)
     fresh = jax.vmap(
         lambda k: scene_mod.reset_scene(
             k, ecfg.is_cluttered, ecfg.is_testing, cfg.reset_settle_steps
@@ -295,7 +291,9 @@ def train_step(
 
     metrics = StepMetrics(
         loss=loss,
-        reward=trainer.current_reward(choice, outcome),
+        # Pairs row-for-row with label_value (the reference logs the PREV
+        # step's reward next to its label, main.py:324-326).
+        reward=reward_values,
         label_value=label_values,
         predicted_value=choice.predicted_value,
         action=choice.action,

@@ -208,21 +208,21 @@ class TestEnvPipeline:
 
     def test_episode_done_predicate(self):
         cfg = env.EnvConfig()
-        done = env.episode_done(
-            jnp.asarray(0), jnp.zeros(2), jnp.asarray(False),
-            jnp.asarray(True), jnp.asarray(0), cfg,
-        )
-        assert bool(done)
-        not_done = env.episode_done(
-            jnp.asarray(3), jnp.zeros(2), jnp.asarray(False),
-            jnp.asarray(True), jnp.asarray(2), cfg,
-        )
-        assert not bool(not_done)
-        done_nc = env.episode_done(
-            jnp.asarray(3), jnp.asarray([2.0, 2.0]), jnp.asarray(False),
-            jnp.asarray(True), jnp.asarray(2), cfg,
-        )
-        assert bool(done_nc)
+
+        def done(n, nc, ok, succ, it):
+            return bool(
+                env.episode_done(
+                    jnp.asarray(n), jnp.asarray(nc, jnp.float32),
+                    jnp.asarray(ok), jnp.asarray(succ), jnp.asarray(it), cfg,
+                )
+            )
+
+        assert done(0, [0, 0], True, 0, 1)        # table empty
+        assert not done(3, [0, 0], True, 2, 5)    # nothing trips
+        assert done(3, [2, 2], True, 2, 5)        # no-change cutoff
+        assert done(3, [0, 0], False, 2, 5)       # sim unstable
+        assert done(3, [0, 0], True, 10, 5)       # success cap
+        assert done(3, [0, 0], True, 2, 20)       # step limit
 
 
 class TestBatchedExecutor:
