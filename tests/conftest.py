@@ -18,3 +18,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound per-process compile-cache growth.
+
+    A full single-process suite accumulates hundreds of XLA:CPU executables
+    and reliably segfaults inside backend_compile_and_load around the
+    ~110th test; dropping caches between modules keeps the LLVM JIT state
+    bounded (tests within a module still share compilations).
+    """
+    yield
+    jax.clear_caches()
