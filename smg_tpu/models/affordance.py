@@ -82,14 +82,14 @@ class AffordanceHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         h = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="norm0"
+            use_running_average=not train, dtype=self.dtype, name="norm0"
         )(x)
         h = nn.relu(h)
         h = nn.Conv(
             64, (1, 1), use_bias=False, dtype=self.dtype, name="conv0"
         )(h)
         h = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="norm1"
+            use_running_average=not train, dtype=self.dtype, name="norm1"
         )(h)
         h = nn.relu(h).astype(self.dtype)
         h = nn.Conv(

@@ -35,7 +35,7 @@ class DenseLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         h = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="norm1"
+            use_running_average=not train, dtype=self.dtype, name="norm1"
         )(x)
         h = nn.relu(h)
         h = nn.Conv(
@@ -43,7 +43,7 @@ class DenseLayer(nn.Module):
             dtype=self.dtype, name="conv1",
         )(h)
         h = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="norm2"
+            use_running_average=not train, dtype=self.dtype, name="norm2"
         )(h)
         h = nn.relu(h)
         h = nn.Conv(
@@ -76,7 +76,7 @@ class Transition(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="norm"
+            use_running_average=not train, dtype=self.dtype, name="norm"
         )(x)
         x = nn.relu(x)
         x = nn.Conv(
@@ -104,7 +104,7 @@ class DenseNetTrunk(nn.Module):
             use_bias=False, dtype=self.dtype, name="conv0",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="norm0"
+            use_running_average=not train, dtype=self.dtype, name="norm0"
         )(x)
         x = nn.relu(x).astype(self.dtype)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -122,7 +122,7 @@ class DenseNetTrunk(nn.Module):
                     num_features, self.dtype, name=f"transition{i + 1}"
                 )(x, train)
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="norm5"
+            use_running_average=not train, dtype=self.dtype, name="norm5"
         )(x)
         return x
 
@@ -146,7 +146,7 @@ class TinyTrunk(nn.Module):
                 dtype=self.dtype, name=f"conv{i}",
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, dtype=jnp.float32,
+                use_running_average=not train, dtype=self.dtype,
                 name=f"norm{i}",
             )(x)
             x = nn.relu(x).astype(self.dtype)

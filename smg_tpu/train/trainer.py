@@ -61,6 +61,11 @@ class TrainConfig:
     is_ets: bool = False
     pair_chunk: int = 11                 # ETS pair streams per chunk
     scene_chunk: int = 4                 # scenes scored per model call
+    # Route eval-mode scoring (choice scoring + DQN future term — no
+    # gradients, running-stat BN) through the Pallas DenseNet inference
+    # engine (models/fast_trunk.py) when on TPU. The flax path remains
+    # the train-mode / autodiff path either way.
+    fast_eval: bool = True
 
 
 @struct.dataclass
@@ -140,6 +145,24 @@ class Trainer:
             scene_in, mask_ins, style, train, method=AffordanceNet.score,
         )
 
+    @property
+    def _use_fast_eval(self) -> bool:
+        return (
+            self.cfg.fast_eval
+            and self.cfg.model.trunk == "densenet121"
+            and jax.default_backend() == "tpu"
+        )
+
+    def _apply_eval(self, params, stats, scene_in, mask_ins, style):
+        """Eval-mode score: Pallas trunk engine on TPU, flax elsewhere."""
+        if self._use_fast_eval:
+            from smg_tpu.models import fast_trunk
+
+            return fast_trunk.fast_score(
+                params, stats, self.cfg.model, scene_in, mask_ins, style
+            )
+        return self._apply(params, stats, scene_in, mask_ins, style)
+
     def _prep(self, depth_hm):
         return aff.preprocess_depth(depth_hm, self.cfg.model)
 
@@ -168,8 +191,12 @@ class Trainer:
                 scene_img if r == 0
                 else aff.rotate_image_nearest(scene_img, theta)
             )[None]
-            gra = self._apply(params, stats, rot_img, obj_ins, STYLE_GRASP)
-            suc = self._apply(params, stats, rot_img, obj_ins, STYLE_SUCTION)
+            gra = self._apply_eval(
+                params, stats, rot_img, obj_ins, STYLE_GRASP
+            )
+            suc = self._apply_eval(
+                params, stats, rot_img, obj_ins, STYLE_SUCTION
+            )
             gra_rots.append(self._postprocess(gra[0])[:, 0])
             suc_rots.append(self._postprocess(suc[0])[:, 0])
         scene_in = scene_img[None]
@@ -190,7 +217,9 @@ class Trainer:
 
             def score_chunk(chunk):
                 ins = jax.vmap(self._prep)(chunk)[None]
-                out = self._apply(params, stats, scene_in, ins, STYLE_ETS)
+                out = self._apply_eval(
+                    params, stats, scene_in, ins, STYLE_ETS
+                )
                 return self._postprocess(out[0])[:, 0]
 
             vals = jax.lax.map(score_chunk, chunks).reshape(-1)[:N_PAIRS]
@@ -313,42 +342,101 @@ class Trainer:
         future = jnp.where(~any_succ | cleared, 0.0, future)
         return r + self.cfg.future_reward_discount * future, r
 
+    # ------------------------------------------------------------------
+    # Style-sorted dispatch: one trunk per scene, not three
+    # ------------------------------------------------------------------
+    #
+    # The executed style varies per scene at runtime, but running all three
+    # trunks and jnp.select-ing (the naive vmap answer) triples the model
+    # FLOPs on the training path. Instead: sort the batch by style, chunk
+    # it, and process chunks under a sequential lax.map (scan) where
+    # control flow stays scalar — a style-uniform chunk dispatches through
+    # lax.switch on its first style so exactly ONE trunk executes; only
+    # the <=2 chunks straddling a style boundary fall back to the
+    # all-three+select path. Sorting is a gather, fully differentiable.
+
+    def _style_chunks(self, arrays: tuple, styles: jax.Array):
+        """Sort per-scene arrays by style and reshape to (n_chunks, C, ...).
+
+        Returns (chunked_arrays, chunked_styles, inverse_order, B). Padding
+        (when C does not divide B) repeats the last sorted scene, keeping
+        the tail chunk style-uniform; padded lanes are dropped on unsort.
+        """
+        B = styles.shape[0]
+        C = min(self.cfg.scene_chunk, B)
+        order = jnp.argsort(styles)           # stable
+        inv = jnp.argsort(order)
+        pad = (-B) % C
+
+        def prep(x):
+            x = x[order]
+            if pad:
+                x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+            return x.reshape((x.shape[0] // C, C) + x.shape[1:])
+
+        return tuple(prep(a) for a in arrays), prep(styles), inv, B
+
     def _eval_styled(self, params, stats, scene_depths, exec_masks, styles,
                      rotations=None):
         """Q/confidence of (scene, mask) pairs whose style varies per scene.
 
-        Evaluates all three styles and selects — styles are trace-time
-        values under vmap. (B, 224, 224) x2 + (B,) -> (B,). `rotations`
-        rotates the scene stream by idx * 2pi / num_rotations (identity
-        when num_rotations == 1).
+        (B, 224, 224) x2 + (B,) -> (B,). `rotations` rotates the scene
+        stream by idx * 2pi / num_rotations (identity when
+        num_rotations == 1). Eval mode (running-average BN), so a uniform
+        chunk runs as one real batch-C model call on the MXU.
         """
         R = self.cfg.model.num_rotations
         if rotations is None:
             rotations = jnp.zeros((scene_depths.shape[0],), jnp.int32)
+        (sd, em, ro), st, inv, B = self._style_chunks(
+            (scene_depths, exec_masks, rotations), styles
+        )
 
-        def one(scene_depth, mask, style, rot_idx):
+        def prep_one(scene_depth, mask, rot_idx):
             scene_img = self._prep(scene_depth)
             if R > 1:
                 theta = rot_idx.astype(jnp.float32) * (2.0 * jnp.pi / R)
                 scene_img = aff.rotate_image_nearest(scene_img, theta)
-            scene_in = scene_img[None]
-            mask_in = self._prep(scene_depth * mask)[None, None]
-            outs = [
-                self._postprocess(
-                    self._apply(params, stats, scene_in, mask_in, s)[0]
-                )[0, 0]
-                for s in (STYLE_GRASP, STYLE_SUCTION, STYLE_ETS)
-            ]
-            return jnp.select(
-                [style == STYLE_GRASP, style == STYLE_SUCTION],
-                [outs[0], outs[1]], outs[2],
+            return scene_img, self._prep(scene_depth * mask)
+
+        def chunk_fn(args):
+            sd_c, em_c, ro_c, st_c = args
+            scene_imgs, mask_imgs = jax.vmap(prep_one)(sd_c, em_c, ro_c)
+
+            def one_style(s):
+                def br(_):
+                    out = self._apply_eval(
+                        params, stats, scene_imgs, mask_imgs[:, None], s
+                    )  # (C, 1, num_out)
+                    return self._postprocess(out[:, 0])[:, 0]
+                return br
+
+            def mixed(_):
+                outs = [
+                    self._postprocess(
+                        self._apply_eval(
+                            params, stats, scene_imgs, mask_imgs[:, None], s
+                        )[:, 0]
+                    )[:, 0]
+                    for s in (STYLE_GRASP, STYLE_SUCTION, STYLE_ETS)
+                ]
+                return jnp.select(
+                    [st_c == STYLE_GRASP, st_c == STYLE_SUCTION],
+                    [outs[0], outs[1]], outs[2],
+                )
+
+            s0 = st_c[0]
+            uniform = jnp.all(st_c == s0)
+            return jax.lax.cond(
+                uniform,
+                lambda _: jax.lax.switch(
+                    s0, [one_style(s) for s in range(3)], None
+                ),
+                mixed, None,
             )
 
-        return jax.lax.map(
-            lambda args: one(*args),
-            (scene_depths, exec_masks, styles, rotations),
-            batch_size=self.cfg.scene_chunk,
-        )
+        vals = jax.lax.map(chunk_fn, (sd, em, ro, st)).reshape(-1)
+        return vals[:B][inv]
 
     # ------------------------------------------------------------------
     # Update (trainer.backprop)
@@ -365,43 +453,82 @@ class Trainer:
         reactive = self.cfg.method == "reactive"
 
         def loss_fn(params):
-            def per_scene(scene_depth, mask, style, valid, label, stats):
-                scene_in = self._prep(scene_depth)[None]
-                mask_in = self._prep(scene_depth * mask)[None, None]
-                outs = []
-                new_stats = stats
-                for s in (STYLE_GRASP, STYLE_SUCTION, STYLE_ETS):
-                    out, mut = self.model.apply(
-                        {"params": params, "batch_stats": stats},
-                        scene_in, mask_in, s, True,
-                        method=AffordanceNet.score,
-                        mutable=["batch_stats"],
-                    )
-                    outs.append(out[0, 0])
-                    new_stats = jax.tree_util.tree_map(
-                        lambda ns, m: jnp.where(style == s, m, ns),
-                        new_stats, mut["batch_stats"],
-                    )
-                out = jnp.select(
-                    [style == STYLE_GRASP, style == STYLE_SUCTION],
-                    [outs[0], outs[1]], outs[2],
-                )  # (num_out,)
-                if reactive:
-                    loss = losses.reactive_ce(out, label.astype(jnp.int32))
-                else:
-                    loss = losses.huber_q(out[0], label)
-                return jnp.where(valid, loss, 0.0), new_stats
+            stats = state.batch_stats
 
-            # Chunked over the batch to bound memory.
-            losses_b, stats_b = jax.lax.map(
-                lambda args: per_scene(*args, state.batch_stats),
-                (exp.scene_depth, exp.exec_mask, exp.style, exp.valid,
-                 labels),
-                batch_size=self.cfg.scene_chunk,
+            def one_scene(s, scene_depth, mask):
+                """Batch-1 train-mode forward with style s (per-scene BN
+                statistics = the reference's minibatch-of-1 backprop,
+                trainer.py:278-384)."""
+                out, mut = self.model.apply(
+                    {"params": params, "batch_stats": stats},
+                    self._prep(scene_depth)[None],
+                    self._prep(scene_depth * mask)[None, None],
+                    s, True, method=AffordanceNet.score,
+                    mutable=["batch_stats"],
+                )
+                return out[0, 0], mut["batch_stats"]
+
+            def chunk_fn(args):
+                sd_c, em_c, valid_c, label_c, st_c = args
+
+                def one_style(s):
+                    # Uniform chunk: ONE trunk runs; its mutated stats
+                    # collection already carries the other trunks' stats
+                    # through unchanged.
+                    def br(_):
+                        return jax.vmap(
+                            lambda sd1, em1: one_scene(s, sd1, em1)
+                        )(sd_c, em_c)
+                    return br
+
+                def mixed(_):
+                    def per_scene(sd1, em1, st1):
+                        outs, new_stats = [], stats
+                        for s in (STYLE_GRASP, STYLE_SUCTION, STYLE_ETS):
+                            out, mut = one_scene(s, sd1, em1)
+                            outs.append(out)
+                            new_stats = jax.tree_util.tree_map(
+                                lambda ns, m: jnp.where(st1 == s, m, ns),
+                                new_stats, mut,
+                            )
+                        out = jnp.select(
+                            [st1 == STYLE_GRASP, st1 == STYLE_SUCTION],
+                            [outs[0], outs[1]], outs[2],
+                        )
+                        return out, new_stats
+                    return jax.vmap(per_scene)(sd_c, em_c, st_c)
+
+                s0 = st_c[0]
+                uniform = jnp.all(st_c == s0)
+                outs_c, stats_c = jax.lax.cond(
+                    uniform,
+                    lambda _: jax.lax.switch(
+                        s0, [one_style(s) for s in range(3)], None
+                    ),
+                    mixed, None,
+                )  # (C, num_out), stats with a leading (C,) axis
+                if reactive:
+                    loss_c = jax.vmap(losses.reactive_ce)(
+                        outs_c, label_c.astype(jnp.int32)
+                    )
+                else:
+                    loss_c = jax.vmap(losses.huber_q)(outs_c[:, 0], label_c)
+                return jnp.where(valid_c, loss_c, 0.0), stats_c
+
+            (sd, em, va, la), st, inv, B = self._style_chunks(
+                (exp.scene_depth, exp.exec_mask, exp.valid, labels),
+                exp.style,
             )
+            losses_ch, stats_ch = jax.lax.map(
+                chunk_fn, (sd, em, va, la, st)
+            )
+            # Padding repeats the last sorted scene (valid flag included),
+            # so slice back to the B real scenes before any reduction.
+            losses_b = losses_ch.reshape(-1)[:B][inv]
             n = jnp.maximum(exp.valid.sum(), 1)
             new_stats = jax.tree_util.tree_map(
-                lambda s: s.mean(axis=0), stats_b
+                lambda s: s.reshape((-1,) + s.shape[2:])[:B].mean(axis=0),
+                stats_ch,
             )
             return losses_b.sum() / n, new_stats
 

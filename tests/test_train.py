@@ -127,6 +127,139 @@ class TestScoring:
         assert max(jax.tree_util.tree_leaves(diff3)) < 1e-7
 
 
+class TestStyledDispatch:
+    """The style-sorted one-trunk-per-scene dispatch must be numerically
+    identical to the naive evaluate-all-three-and-select path (float32
+    model so bf16 batching noise can't mask a logic error)."""
+
+    @staticmethod
+    def _f32_trainer(chunk=3):
+        return Trainer(
+            TrainConfig(
+                model=ModelConfig(method="reinforcement", trunk="tiny",
+                                  input_size=224, dtype="float32"),
+                method="reinforcement", scene_chunk=chunk,
+            )
+        )
+
+    @staticmethod
+    def _mixed_batch(B=7):
+        rng = np.random.RandomState(0)
+        sd = jnp.asarray(rng.rand(B, 224, 224) * 0.05)
+        em = jnp.zeros((B, 224, 224), bool).at[:, 60:120, 60:120].set(True)
+        styles = jnp.asarray([0, 2, 1, 1, 0, 2, 1][:B], jnp.int32)
+        return sd, em, styles
+
+    def test_eval_styled_matches_naive(self):
+        tr = self._f32_trainer()
+        state = tr.init_state(jax.random.PRNGKey(0))
+        sd, em, styles = self._mixed_batch()  # B=7, chunk=3: padded + mixed
+
+        def naive(d, m, s):
+            si = tr._prep(d)[None]
+            mi = tr._prep(d * m)[None, None]
+            outs = [
+                tr._postprocess(
+                    tr._apply(state.params, state.batch_stats, si, mi, x)[0]
+                )[0, 0]
+                for x in (0, 1, 2)
+            ]
+            return jnp.select([s == 0, s == 1], [outs[0], outs[1]], outs[2])
+
+        v_new = jax.jit(tr._eval_styled)(
+            state.params, state.batch_stats, sd, em, styles
+        )
+        v_naive = jax.jit(jax.vmap(naive))(sd, em, styles)
+        np.testing.assert_allclose(
+            np.asarray(v_new), np.asarray(v_naive), rtol=1e-5, atol=1e-6
+        )
+
+    def test_update_matches_naive(self):
+        from smg_tpu.models.affordance import AffordanceNet
+        from smg_tpu.train import losses as loss_mod
+
+        tr = self._f32_trainer()
+        state = tr.init_state(jax.random.PRNGKey(0))
+        sd, em, styles = self._mixed_batch()
+        B = sd.shape[0]
+        valid = jnp.asarray([1, 1, 0, 1, 1, 1, 1], bool)
+        labels = jnp.asarray(np.random.RandomState(1).rand(B), jnp.float32)
+        exp = Experience(scene_depth=sd, exec_mask=em, style=styles,
+                         valid=valid)
+
+        def naive_loss(params, stats):
+            def per_scene(d, m, s, v, l):
+                si = tr._prep(d)[None]
+                mi = tr._prep(d * m)[None, None]
+                outs, new_stats = [], stats
+                for x in (0, 1, 2):
+                    out, mut = tr.model.apply(
+                        {"params": params, "batch_stats": stats}, si, mi,
+                        x, True, method=AffordanceNet.score,
+                        mutable=["batch_stats"],
+                    )
+                    outs.append(out[0, 0])
+                    new_stats = jax.tree_util.tree_map(
+                        lambda ns, mm: jnp.where(s == x, mm, ns),
+                        new_stats, mut["batch_stats"],
+                    )
+                out = jnp.select([s == 0, s == 1], [outs[0], outs[1]],
+                                 outs[2])
+                return jnp.where(v, loss_mod.huber_q(out[0], l), 0.0), \
+                    new_stats
+
+            lb, st_b = jax.vmap(per_scene)(sd, em, styles, valid, labels)
+            n = jnp.maximum(valid.sum(), 1)
+            return lb.sum() / n, jax.tree_util.tree_map(
+                lambda s: s.mean(axis=0), st_b
+            )
+
+        new_state, new_loss = jax.jit(tr.update)(state, exp, labels)
+        nl, nstats = jax.jit(naive_loss)(state.params, state.batch_stats)
+        assert abs(float(new_loss) - float(nl)) < 1e-5
+        for a, b in zip(
+            jax.tree_util.tree_leaves(new_state.batch_stats),
+            jax.tree_util.tree_leaves(nstats),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )
+
+    def test_bn_stats_move_only_for_executed_style(self):
+        """A uniform style-0 (grasp) batch must update the grasp trunk's BN
+        statistics and leave the suction / gs trunks' untouched."""
+        tr = self._f32_trainer(chunk=2)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        B = 4
+        rng = np.random.RandomState(2)
+        exp = Experience(
+            scene_depth=jnp.asarray(rng.rand(B, 224, 224) * 0.05),
+            exec_mask=jnp.zeros((B, 224, 224), bool)
+            .at[:, 60:120, 60:120].set(True),
+            style=jnp.zeros((B,), jnp.int32),
+            valid=jnp.ones((B,), bool),
+        )
+        new_state, _ = tr.update(state, exp, jnp.ones((B,)))
+
+        def max_delta(sub):
+            before = jax.tree_util.tree_leaves(state.batch_stats[sub])
+            after = jax.tree_util.tree_leaves(new_state.batch_stats[sub])
+            return max(
+                float(jnp.abs(a - b).max()) for a, b in zip(after, before)
+            )
+
+        names = list(state.batch_stats.keys())
+        grasp = [n for n in names if "grasp" in n and "head" not in n]
+        other_trunks = [
+            n for n in names
+            if ("suction" in n or "gs" in n) and "head" not in n
+        ]
+        assert grasp and other_trunks, names
+        assert any(max_delta(n) > 1e-8 for n in grasp), grasp
+        for n in other_trunks:
+            assert max_delta(n) == 0.0, n
+
+
 class TestLabels:
     def test_reactive_labels(self):
         tr = tiny_trainer(method="reactive")
