@@ -28,12 +28,19 @@ from smg_tpu.train import checkpoints
 from smg_tpu.train.loop import LoopConfig, init_loop, train_step
 from smg_tpu.train.trainer import Trainer
 from smg_tpu.utils import config as cfg_mod
+from smg_tpu.utils import vis as vis_mod
 from smg_tpu.utils.logger import Logger
+from smg_tpu.utils.profiling import PhaseTimer
 
 
-def log_step_metrics(logger: Logger, metrics, iteration: int) -> None:
+def log_step_metrics(logger: Logger, metrics, iteration: int,
+                     episode_base: int = 0) -> int:
     """Write the reference's 10 transitions arrays for every scene in the
-    batch (executed-action layout from main.py:368-377, etc.)."""
+    batch (executed-action layout from main.py:368-377, etc.).
+
+    `episode_base` = globally completed episodes before this step (resume
+    re-hydrates it from the episode_success log); returns the number of
+    episodes that ended this step so the caller can advance it."""
     m = jax.device_get(metrics)
     B = m.action.shape[0]
     act_rows = np.concatenate(
@@ -56,19 +63,72 @@ def log_step_metrics(logger: Logger, metrics, iteration: int) -> None:
     done = np.nonzero(m.episodes_done)[0]
     if done.size:
         logger.write_to_log("clearance", np.full((done.size, 1), iteration))
+        # [episode, episode_iter, episode_succ] (main.py:125-126); episodes
+        # ending in the same batched step get sequential global numbers.
         logger.write_to_log(
             "episode_success",
             np.stack(
-                [done.astype(np.float64),
-                 np.zeros(done.size),
+                [episode_base + np.arange(done.size, dtype=np.float64),
+                 m.episode_iter[done].astype(np.float64),
                  m.episode_succ[done].astype(np.float64)], axis=1,
             ),
         )
+    return int(done.size)
+
+
+def save_step_imagery(logger: Logger, metrics, iteration: int) -> None:
+    """Scene-0 heightmaps + segmentation/action overlays (the reference
+    saves these every iteration: logger.py:94-115, the drawing block at
+    main.py:252-294)."""
+    color = np.asarray(jax.device_get(metrics.color_hm0))
+    depth = np.asarray(jax.device_get(metrics.depth_hm0))
+    logger.save_heightmaps(iteration, color, depth)
+    overlay = vis_mod.overlay_masks(
+        color,
+        np.asarray(jax.device_get(metrics.seg_masks0)),
+        np.asarray(jax.device_get(metrics.seg_boxes0)),
+        np.asarray(jax.device_get(metrics.seg_valid0)),
+    )
+    # Tint the executed object(s) red on top of the instance overlay (the
+    # reference's action visualization).
+    exec_mask = np.asarray(jax.device_get(metrics.exec_mask0))
+    overlay[exec_mask] = 0.5 * overlay[exec_mask] + np.array(
+        [0.5, 0.0, 0.0], np.float32
+    )
+    logger.save_visualizations(iteration, overlay, "action")
 
 
 def main(argv=None) -> None:
+    from smg_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg = cfg_mod.parse_args(argv)
     print(f"devices: {jax.devices()}")
+
+    if cfg.env.segmentation == "learned":
+        # Load the trained SlotSegmenter (cli.train_segmenter) and bake it
+        # into the loop as the observation front-end (the Mask-R-CNN-parity
+        # path, reference main.py:139).
+        import dataclasses
+
+        from smg_tpu.perception import learned
+
+        if not cfg.segmenter_checkpoint:
+            raise SystemExit(
+                "--segmentation learned requires --segmenter_checkpoint"
+            )
+        seg_model, seg_template = learned.init_segmenter(
+            jax.random.PRNGKey(0)
+        )
+        seg_params = checkpoints.load_params(
+            cfg.segmenter_checkpoint, seg_template
+        )
+        cfg = dataclasses.replace(
+            cfg, loop=dataclasses.replace(
+                cfg.loop, segmenter=(seg_model, seg_params)
+            )
+        )
+        print(f"segmenter loaded from: {cfg.segmenter_checkpoint}")
 
     trainer = Trainer(cfg.train)
     logger = Logger(cfg.continue_logging, cfg.logging_directory)
@@ -84,7 +144,18 @@ def main(argv=None) -> None:
     print("initializing scenes + model...")
     state = init_loop(key, trainer, cfg.loop)
 
+    resumed_iteration = 0
+    episode_base = 0
     if cfg.continue_logging:
+        # Continue the global episode numbering from the reused run's
+        # episode_success log (the reference restarted its episode loop
+        # variable on resume; monotone numbering is strictly better for
+        # the plotting scripts).
+        try:
+            prev_rows = np.atleast_2d(logger.read_log("episode_success"))
+            episode_base = int(prev_rows.shape[0]) if prev_rows.size else 0
+        except (OSError, FileNotFoundError, ValueError):
+            episode_base = 0
         # Resume: restore the latest full checkpoint from the reused run
         # directory (the reference re-hydrated counters by re-parsing the
         # transitions logs, trainer.preload at trainer.py:118-158; here the
@@ -92,7 +163,18 @@ def main(argv=None) -> None:
         latest = ckpt.latest_step()
         if latest is not None:
             state = state.replace(trainer=ckpt.restore(state.trainer))
-            print(f"Resumed trainer state from checkpoint step {latest}")
+            # Continue the global step numbering past the restored
+            # checkpoint, so post-resume saves are numbered monotonically
+            # (a counter restart would write steps 50,100,... below the
+            # existing ones, and max_to_keep would garbage-collect them
+            # while latest_step() kept returning the stale pre-resume step).
+            resumed_iteration = int(
+                jax.device_get(state.trainer.iteration)
+            )
+            print(
+                f"Resumed trainer state from checkpoint step {latest}"
+                f" (iteration {resumed_iteration})"
+            )
 
     if cfg.load_snapshot and cfg.snapshot_file:
         params = checkpoints.load_params(
@@ -106,18 +188,45 @@ def main(argv=None) -> None:
         )
         print(f"Pre-trained model snapshot loaded from: {cfg.snapshot_file}")
 
-    step_fn = jax.jit(functools.partial(train_step, trainer, cfg.loop))
+    if cfg.data_parallel > 1:
+        # Multi-chip data parallelism: scenes sharded over the mesh's
+        # `data` axis, params/optimizer replicated; XLA inserts the
+        # gradient all-reduce over ICI (SURVEY section 2.4).
+        from smg_tpu.parallel import mesh as mesh_mod
+        from smg_tpu.parallel import sharded
+
+        if cfg.loop.batch_size % cfg.data_parallel != 0:
+            raise SystemExit(
+                f"--batch_size {cfg.loop.batch_size} must be divisible by "
+                f"--data_parallel {cfg.data_parallel}"
+            )
+        mesh = mesh_mod.make_mesh(cfg.data_parallel)
+        state = sharded.place_loop_state(state, mesh)
+        step_fn = sharded.make_sharded_step(trainer, cfg.loop, mesh, state)
+        print(f"data-parallel mesh: {mesh.shape}")
+    else:
+        step_fn = jax.jit(functools.partial(train_step, trainer, cfg.loop))
 
     episode_target = (
         cfg.testing_episode if cfg.env.is_testing else cfg.training_episode
     )
-    iteration = 0
+    iteration = resumed_iteration
     t_start = time.time()
+    timer = PhaseTimer()
     while True:
-        state, metrics = step_fn(state)
+        with timer.phase("step"):
+            state, metrics = step_fn(state)
+            jax.block_until_ready(metrics.loss)
+        with timer.phase("device_get"):
+            metrics = jax.device_get(metrics)
         iteration += 1
         episodes = int(jax.device_get(state.counters.episode_idx).sum())
-        log_step_metrics(logger, metrics, iteration)
+        with timer.phase("log"):
+            episode_base += log_step_metrics(
+                logger, metrics, iteration, episode_base
+            )
+            if cfg.imagery_every and iteration % cfg.imagery_every == 0:
+                save_step_imagery(logger, metrics, iteration)
         succ_rate = float(
             jax.device_get(
                 (
@@ -148,6 +257,7 @@ def main(argv=None) -> None:
         checkpoints.save_params(snap, state.trainer.params)
         print(f"snapshot: {snap}")
     logger.close()
+    print(timer.report())
     print(f"done: {iteration} iterations, {episodes} episodes")
 
 

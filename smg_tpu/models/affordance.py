@@ -139,10 +139,21 @@ class AffordanceNet(nn.Module):
         """Scores (B, M, num_out): scene features shared across M objects."""
         B, M = mask_imgs.shape[0], mask_imgs.shape[1]
         trunk = self._trunk(style)
-        scene_feat = trunk(scene_img, train)              # (B, h, w, 1024)
-        mask_feat = trunk(
-            mask_imgs.reshape((B * M,) + mask_imgs.shape[2:]), train
-        )                                                  # (B*M, h, w, 1024)
+        mask_flat = mask_imgs.reshape((B * M,) + mask_imgs.shape[2:])
+        if train:
+            # Train mode keeps the reference's per-stream BN statistics
+            # (models.py:96: separate trunk passes per stream).
+            scene_feat = trunk(scene_img, train)          # (B, h, w, 1024)
+            mask_feat = trunk(mask_flat, train)            # (B*M, h, w, 1024)
+        else:
+            # Eval mode (running-average BN): one trunk call over both
+            # streams — identical math, but B + B*M examples per conv
+            # instead of two small launches, so the MXU sees full tiles
+            # even at scene-batch 1.
+            feats = trunk(
+                jnp.concatenate([scene_img, mask_flat], axis=0), train
+            )
+            scene_feat, mask_feat = feats[:B], feats[B:]
         h, w, c = scene_feat.shape[1:]
         scene_rep = jnp.broadcast_to(
             scene_feat[:, None], (B, M, h, w, c)

@@ -39,8 +39,13 @@ def _metrics_shardings(mesh):
     return train_loop.StepMetrics(
         loss=repl, reward=data, label_value=data, predicted_value=data,
         action=data, explored=data, best_pix=data, objects_number=data,
-        episodes_done=data, episode_succ=data, grasp_success=data,
+        episodes_done=data, episode_iter=data, episode_succ=data,
+        grasp_success=data,
         suction_success=data, gs_success=data,
+        # Scene-0 imagery has no batch axis; it replicates (a gather from
+        # the shard holding scene 0).
+        color_hm0=repl, depth_hm0=repl, exec_mask0=repl, seg_masks0=repl,
+        seg_boxes0=repl, seg_valid0=repl,
     )
 
 

@@ -48,6 +48,15 @@ class LoopConfig:
     # Pallas fast stepper (TPU), "vmap" uses the per-scene reference path,
     # "auto" picks batched on TPU.
     executor: str = "auto"
+    # Learned segmentation front-end: a (model, params) pair consumed when
+    # env.segmentation == "learned". The params are frozen during grasp
+    # training (the segmenter trains separately against the exact
+    # renderer, cli/train_segmenter.py) and bake into the jitted step as
+    # constants. eq/hash exclude it so LoopConfig stays usable as a
+    # static jit argument.
+    segmenter: tuple | None = field(
+        default=None, compare=False, hash=False
+    )
 
 
 @struct.dataclass
@@ -99,10 +108,20 @@ class StepMetrics:
     best_pix: jax.Array             # (B, 6)
     objects_number: jax.Array       # (B,)
     episodes_done: jax.Array        # (B,) bool
+    episode_iter: jax.Array         # (B,) steps into the episode
     episode_succ: jax.Array         # (B,)
     grasp_success: jax.Array        # (B,)
     suction_success: jax.Array      # (B,)
     gs_success: jax.Array           # (B,)
+    # Scene-0 imagery for the run's observability tree (the reference
+    # saves heightmaps + action visualizations every iteration,
+    # logger.py:94-115, main.py:136-154).
+    color_hm0: jax.Array            # (224, 224, 3)
+    depth_hm0: jax.Array            # (224, 224)
+    exec_mask0: jax.Array           # (224, 224) bool — executed object(s)
+    seg_masks0: jax.Array           # (N, 224, 224) bool
+    seg_boxes0: jax.Array           # (N, 2, 2)
+    seg_valid0: jax.Array           # (N,)
 
 
 def blank_prev(B: int) -> PrevStep:
@@ -126,10 +145,22 @@ def blank_prev(B: int) -> PrevStep:
         bestg_conf=zf, bests_conf=zf, bestgs_conf=zf, exploit_action=z,
     )
     outcome = env.StepOutcome(
-        suction_success=zf, grasp_success=zf, gs_success=zf
+        suction_success=zf, grasp_success=zf, gs_success=zf,
+        tip_divergence=zf,
     )
     return PrevStep(exp=exp, choice=choice, outcome=outcome,
                     objects_number=z)
+
+
+def _strong(tree):
+    """Strip weak types: Python-scalar arithmetic (Gripper.home, reward
+    where-chains) produces weak float32s whose avals differ from computed
+    arrays — a mismatch between init_loop's state and train_step's output
+    would recompile the whole step program once per run."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.convert_element_type(x, jnp.asarray(x).dtype),
+        tree,
+    )
 
 
 def init_loop(
@@ -139,13 +170,13 @@ def init_loop(
     scenes = jax.vmap(lambda k: env.reset(k, cfg.env))(
         jax.random.split(k_scenes, cfg.batch_size)
     )
-    return LoopState(
+    return _strong(LoopState(
         scenes=scenes,
         trainer=trainer.init_state(k_model),
         counters=EpisodeCounters.zeros(cfg.batch_size),
         prev=blank_prev(cfg.batch_size),
         key=k_loop,
-    )
+    ))
 
 
 def train_step(
@@ -157,7 +188,23 @@ def train_step(
     key, k_sel, k_reset = jax.random.split(state.key, 3)
 
     # --- Observe (main.py:108-117) ---
-    obs = jax.vmap(env.observe)(state.scenes)
+    seg_fn = None
+    if ecfg.segmentation == "learned":
+        if cfg.segmenter is None:
+            raise ValueError(
+                "env.segmentation == 'learned' requires LoopConfig"
+                ".segmenter = (model, params)"
+            )
+        seg_model, seg_params = cfg.segmenter
+
+        def seg_fn(color_hm, depth_hm):
+            from smg_tpu.perception import learned
+
+            return learned.predict_segmentation(
+                seg_model, seg_params, color_hm, depth_hm
+            )
+
+    obs = jax.vmap(lambda s: env.observe(s, seg_fn))(state.scenes)
     scene_depths = jax.vmap(env.masked_scene_depth)(obs)  # (B, 224, 224)
     masks = obs.seg.masks                                  # (B, N, 224, 224)
     valid = obs.seg.valid
@@ -243,7 +290,12 @@ def train_step(
     next_obs_number = jax.vmap(
         lambda s: (s.objects.active & ~s.objects.removed).sum()
     )(new_scenes)
-    sim_ok = jax.vmap(env.ik_ok)(new_scenes)
+    # Stability + servo-divergence checks (robot.py:207-215 and the
+    # main.py:119-121 tt_distance episode end; the reference's threshold
+    # is 0.01 on the SQUARED distance = 0.1 m).
+    sim_ok = jax.vmap(env.ik_ok)(new_scenes) & (
+        outcome.tip_divergence < 0.1
+    )
     done = jax.vmap(
         lambda n, nc, ok, es, ei: env.episode_done(n, nc, ok, es, ei, ecfg)
     )(next_obs_number, no_change, sim_ok, episode_succ, episode_iter)
@@ -301,15 +353,24 @@ def train_step(
         best_pix=choice.best_pix,
         objects_number=obs.seg.number,
         episodes_done=done,
+        episode_iter=episode_iter,
         episode_succ=episode_succ,
         grasp_success=outcome.grasp_success,
         suction_success=outcome.suction_success,
         gs_success=outcome.gs_success,
+        color_hm0=obs.color_hm[0],
+        depth_hm0=obs.depth_hm[0],
+        exec_mask0=exec_mask[0],
+        seg_masks0=masks[0],
+        seg_boxes0=obs.seg.boxes[0],
+        seg_valid0=valid[0],
     )
+    # Strip weak types so the returned state's avals match the input's
+    # (see _strong; a mismatch recompiles the whole program once).
     return (
-        LoopState(
+        _strong(LoopState(
             scenes=scenes_next, trainer=new_trainer,
             counters=counters_next, prev=prev, key=key,
-        ),
-        metrics,
+        )),
+        _strong(metrics),
     )

@@ -61,11 +61,6 @@ class TrainConfig:
     is_ets: bool = False
     pair_chunk: int = 11                 # ETS pair streams per chunk
     scene_chunk: int = 4                 # scenes scored per model call
-    # Route eval-mode scoring (choice scoring + DQN future term — no
-    # gradients, running-stat BN) through the Pallas DenseNet inference
-    # engine (models/fast_trunk.py) when on TPU. The flax path remains
-    # the train-mode / autodiff path either way.
-    fast_eval: bool = True
 
 
 @struct.dataclass
@@ -145,22 +140,13 @@ class Trainer:
             scene_in, mask_ins, style, train, method=AffordanceNet.score,
         )
 
-    @property
-    def _use_fast_eval(self) -> bool:
-        return (
-            self.cfg.fast_eval
-            and self.cfg.model.trunk == "densenet121"
-            and jax.default_backend() == "tpu"
-        )
-
     def _apply_eval(self, params, stats, scene_in, mask_ins, style):
-        """Eval-mode score: Pallas trunk engine on TPU, flax elsewhere."""
-        if self._use_fast_eval:
-            from smg_tpu.models import fast_trunk
+        """Eval-mode score (running-average BN, no gradients).
 
-            return fast_trunk.fast_score(
-                params, stats, self.cfg.model, scene_in, mask_ins, style
-            )
+        The model merges the scene and mask streams into one trunk batch
+        in eval mode (affordance.AffordanceNet.score), so this is already
+        the full-tile MXU path.
+        """
         return self._apply(params, stats, scene_in, mask_ins, style)
 
     def _prep(self, depth_hm):

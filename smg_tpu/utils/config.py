@@ -34,9 +34,22 @@ class ExperimentConfig:
     logging_directory: str = "logs"
     seed: int = 0
     max_iterations: int = 0  # 0 = run until the episode target
+    data_parallel: int = 1   # devices on the mesh `data` axis (1 = plain jit)
+    segmenter_checkpoint: str = ""  # params for --segmentation learned
+    imagery_every: int = 1   # save scene-0 heightmaps/overlays every K
+    #                          iterations (reference: every; 0 disables)
 
     def to_dict(self):
-        return asdict(self)
+        # Strip the (non-serializable) segmenter bundle before asdict;
+        # the checkpoint path field records where it came from.
+        import dataclasses as _dc
+
+        me = self
+        if self.loop.segmenter is not None:
+            me = _dc.replace(
+                self, loop=_dc.replace(self.loop, segmenter=None)
+            )
+        return asdict(me)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -85,6 +98,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_iterations", type=int, default=0,
                    help="stop after this many steps (0 = episode-based)")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard scenes over this many devices (a "
+                        "jax.sharding Mesh data axis; batch_size must "
+                        "divide evenly)")
+    p.add_argument("--segmentation", default="exact",
+                   choices=["exact", "learned"],
+                   help="instance-segmentation front-end: the renderer's "
+                        "exact id-buffers, or the trained SlotSegmenter "
+                        "(the Mask-R-CNN-parity path)")
+    p.add_argument("--segmenter_checkpoint", default="",
+                   help="orbax params path from cli.train_segmenter "
+                        "(required with --segmentation learned)")
+    p.add_argument("--imagery_every", type=int, default=1,
+                   help="save scene-0 heightmaps + action overlays every "
+                        "K iterations (0 = never; reference saves every "
+                        "iteration)")
     return p
 
 
@@ -97,6 +126,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         is_oo=args.is_oo,
         method=args.method,
         step_limit=args.step,
+        segmentation=args.segmentation,
     )
     model = ModelConfig(
         method=args.method,
@@ -125,6 +155,9 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         logging_directory=args.logging_directory,
         seed=args.seed,
         max_iterations=args.max_iterations,
+        data_parallel=args.data_parallel,
+        segmenter_checkpoint=args.segmenter_checkpoint,
+        imagery_every=args.imagery_every,
     )
 
 
