@@ -53,6 +53,10 @@ class EnvConfig:
     max_episode_success: int = 10  # main.py:121
     no_change_limit: int = 3       # main.py:121
     settle_steps: int = 250
+    # Segmentation front-end: "exact" uses the renderer's id-buffers;
+    # "learned" runs the trained SlotSegmenter on the color+depth
+    # heightmaps (the Mask-R-CNN-parity path, reference masks.py:97).
+    segmentation: str = "exact"
 
 
 @struct.dataclass
@@ -76,6 +80,12 @@ class StepOutcome:
     suction_success: jax.Array   # () float 0/1
     grasp_success: jax.Array     # () float 0/1
     gs_success: jax.Array        # () float {0, 0.5, 2.5}
+    # Servo divergence: distance between the gripper's pose after the
+    # primitive and its final phase target. The analog of the reference's
+    # tip-target IK check (main.py:119-121 tt_distance > 0.01 sq-meters
+    # ends the episode): a phase budget too short for the commanded
+    # travel, or a jam against the pile, shows up here.
+    tip_divergence: jax.Array = 0.0   # () float meters
 
     @property
     def any_success(self) -> jax.Array:
@@ -93,11 +103,19 @@ def reset(key: jax.Array, cfg: EnvConfig) -> Scene:
     )
 
 
-def observe(scene: Scene) -> Observation:
+def observe(scene: Scene, seg_fn=None) -> Observation:
     """Render + segment. The masked scene depth (valid_depth_heightmap_a,
-    main.py:137-151) equals our depth map restricted to object pixels."""
+    main.py:137-151) equals our depth map restricted to object pixels.
+
+    `seg_fn(color_hm, depth_hm) -> Segmentation` replaces the exact
+    id-buffer path with a learned front-end (the Mask-R-CNN analog,
+    reference main.py:139); None keeps the exact path.
+    """
     depth, ids, color = ortho.render_heightmap(scene.objects)
-    seg = seg_mod.segment(scene.objects, ids)
+    if seg_fn is None:
+        seg = seg_mod.segment(scene.objects, ids)
+    else:
+        seg = seg_fn(color, depth)
     return Observation(depth_hm=depth, color_hm=color, seg=seg)
 
 
@@ -179,19 +197,31 @@ def execute(
         (g_succ > 0) & (s_succ > 0), 2.5,
         jnp.where((g_succ > 0) | (s_succ > 0), 0.5, 0.0),
     )
+    # Final phase target: the grasp hover point for grasp-only scenes,
+    # the suction hover point when the suction stage ran.
+    _, _, _, g_above, _ = prim.grasp_stage_params(
+        geom.open_distance, geom.grasp_position, geom.grasp_angle
+    )
+    _, _, _, _, _, s_above = prim.suction_stage_params(
+        scene.gripper.curl, geom.suction_position, geom.suction_angle,
+        finger_angle,
+    )
+    expect = jnp.where(is_g, g_above, s_above)
     outcome = StepOutcome(
         suction_success=jnp.where(is_s, s_succ, 0.0),
         grasp_success=jnp.where(is_g, g_succ, 0.0),
         gs_success=jnp.where(is_e, gs_reward, 0.0),
+        tip_divergence=jnp.linalg.norm(scene.gripper.pos - expect),
     )
     return scene, outcome
 
 
 def ik_ok(scene: Scene, tol: float = 0.01) -> jax.Array:
-    """tip-to-target divergence check (main.py:119-121 tt_distance).
-
-    The kinematic gripper tracks its target exactly between primitives, so
-    this only trips if the stability check does; kept for API parity.
+    """Workspace-stability half of the episode health check
+    (robot.py:207-215). The tip-target divergence half of the reference's
+    check (main.py:119-121 tt_distance) is `StepOutcome.tip_divergence`,
+    measured against the executed primitive's final phase target; the
+    loop combines both (train/loop.py).
     """
     return stepper.sim_stable(scene.gripper) | jnp.asarray(False)
 

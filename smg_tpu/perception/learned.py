@@ -88,11 +88,13 @@ def segmenter_inputs(color_hm: jax.Array, depth_hm: jax.Array) -> jax.Array:
 
 
 def train_step_segmenter(model, params, opt_state, tx, batch_inputs,
-                         batch_ids):
+                         batch_ids, obj_weight: float = 10.0):
     """One supervised step against the exact renderer's id buffers.
 
     batch_inputs (B, H, W, 4); batch_ids (B, H, W) int32 in [-1, N).
-    Returns (params, opt_state, loss).
+    Object pixels are up-weighted (`obj_weight`) against the dominant
+    background class, so the per-pixel CE does not collapse to
+    all-background early in training. Returns (params, opt_state, loss).
     """
     labels = batch_ids + 1  # background -> class 0
 
@@ -100,7 +102,8 @@ def train_step_segmenter(model, params, opt_state, tx, batch_inputs,
         logits = model.apply({"params": p}, batch_inputs, True)
         logp = jax.nn.log_softmax(logits, axis=-1)
         picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)
-        return -picked.mean()
+        w = jnp.where(labels > 0, obj_weight, 1.0)
+        return -(w * picked[..., 0]).sum() / w.sum()
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt_state = tx.update(grads, opt_state, params)
