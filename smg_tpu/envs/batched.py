@@ -144,9 +144,13 @@ def execute_batched(
         (g_succ > 0) & (s_succ > 0), 2.5,
         jnp.where((g_succ > 0) | (s_succ > 0), 0.5, 0.0),
     )
+    expect = jnp.where(is_g[:, None], above, s_above)
     outcome = StepOutcome(
         suction_success=jnp.where(is_s, s_succ, 0.0),
         grasp_success=jnp.where(is_g, g_succ, 0.0),
         gs_success=jnp.where(is_e, gs_reward, 0.0),
+        tip_divergence=jnp.linalg.norm(
+            scenes.gripper.pos - expect, axis=-1
+        ),
     )
     return scenes, outcome
