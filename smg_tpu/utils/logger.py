@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 import time
 from typing import Iterable
 
@@ -40,7 +42,9 @@ LOG_NAMES = (
 
 class Logger:
     def __init__(self, continue_logging: bool = False,
-                 logging_directory: str = "logs"):
+                 logging_directory: str = "logs",
+                 async_writes: bool = True,
+                 native_mirror: bool = True):
         if continue_logging:
             self.base_directory = os.path.abspath(logging_directory)
             print(f"Pre-loading data logging session: {self.base_directory}")
@@ -71,6 +75,59 @@ class Logger:
         ):
             os.makedirs(d, exist_ok=True)
         self._files = {}
+        # Async transitions writer: rows are handed to a background thread
+        # which formats and flushes them, so np.savetxt-style text IO never
+        # blocks the step loop. An optional native binary mirror
+        # (native.AsyncBinaryLog, C++ comm-thread logger) captures the same
+        # rows as <name>.log.bin for high-rate consumers.
+        self._async = async_writes
+        self._queue: queue.Queue | None = None
+        self._pending = 0
+        self._drained = threading.Condition()
+        self._writer_exc: BaseException | None = None
+        if async_writes:
+            self._queue = queue.Queue()
+            self._thread = threading.Thread(
+                target=self._writer_loop, daemon=True,
+                name="smg-logger-writer",
+            )
+            self._thread.start()
+        self._mirrors = {}
+        self._native_mirror = native_mirror
+        if native_mirror:
+            try:
+                from smg_tpu.utils import native as native_mod
+
+                self._native_ok = native_mod.load_library() is not None
+            except Exception:
+                self._native_ok = False
+        else:
+            self._native_ok = False
+
+    def _writer_loop(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            try:
+                self._write_rows(*item)
+            except BaseException as e:  # surfaced on flush()/close()
+                self._writer_exc = e
+            finally:
+                with self._drained:
+                    self._pending -= 1
+                    if self._pending == 0:
+                        self._drained.notify_all()
+
+    def flush(self) -> None:
+        """Block until every enqueued row hit the filesystem."""
+        if self._async:
+            with self._drained:
+                while self._pending > 0:
+                    self._drained.wait()
+        if self._writer_exc is not None:
+            exc, self._writer_exc = self._writer_exc, None
+            raise exc
 
     # -- info (logger.py:78-85) -----------------------------------------
 
@@ -106,7 +163,20 @@ class Logger:
 
     def write_to_log(self, log_name: str, rows: Iterable) -> None:
         """Append rows to `<name>.log.txt` (space-separated, %.18e like
-        np.savetxt's default — format-compatible with the reference)."""
+        np.savetxt's default — format-compatible with the reference).
+
+        With async_writes the rows are copied and handed to the writer
+        thread; call flush() (or close()) to wait for them on disk.
+        """
+        arr = np.atleast_2d(np.asarray(rows, dtype=np.float64)).copy()
+        if self._async:
+            with self._drained:
+                self._pending += 1
+            self._queue.put((log_name, arr))
+        else:
+            self._write_rows(log_name, arr)
+
+    def _write_rows(self, log_name: str, arr: np.ndarray) -> None:
         path = os.path.join(
             self.transitions_directory, f"{log_name}.log.txt"
         )
@@ -114,12 +184,23 @@ class Logger:
         if f is None:
             f = open(path, "a")
             self._files[log_name] = f
-        arr = np.atleast_2d(np.asarray(rows, dtype=np.float64))
         for row in arr:
             f.write(" ".join(f"{v:.18e}" for v in row) + "\n")
         f.flush()
+        if self._native_ok:
+            mirror = self._mirrors.get(log_name)
+            if mirror is None:
+                from smg_tpu.utils.native import AsyncBinaryLog
+
+                mirror = AsyncBinaryLog(os.path.join(
+                    self.transitions_directory, f"{log_name}.log.bin"
+                ))
+                self._mirrors[log_name] = mirror
+            for row in arr:
+                mirror.append(row)
 
     def read_log(self, log_name: str) -> np.ndarray:
+        self.flush()
         path = os.path.join(
             self.transitions_directory, f"{log_name}.log.txt"
         )
@@ -127,33 +208,95 @@ class Logger:
 
     # -- imagery ----------------------------------------------------------
 
+    @staticmethod
+    def _save_png(path: str, img: np.ndarray) -> None:
+        """uint8/uint16 image -> PNG (reference saves cv2 PNGs,
+        logger.py:87-104); silently skipped if pillow is unavailable."""
+        try:
+            from PIL import Image
+        except ImportError:
+            return
+        Image.fromarray(img).save(path)
+
     def save_heightmaps(self, iteration: int, color_heightmap,
                         depth_heightmap, mode: str = "0") -> None:
-        np.save(
-            os.path.join(
-                self.color_heightmaps_directory,
-                f"{iteration:06d}.{mode}.color.npy",
-            ),
-            np.asarray(color_heightmap),
+        """Color (H, W, 3 in [0, 1]) and depth (H, W meters) heightmaps.
+
+        PNG layout parity with the reference (logger.py:94-104): color as
+        uint8 RGB, depth scaled x100000 into uint16 (its depth-heightmap
+        convention); the exact float arrays are additionally kept as .npy.
+        """
+        color = np.asarray(color_heightmap)
+        depth = np.asarray(depth_heightmap)
+        cstem = os.path.join(
+            self.color_heightmaps_directory, f"{iteration:06d}.{mode}.color"
         )
+        dstem = os.path.join(
+            self.depth_heightmaps_directory, f"{iteration:06d}.{mode}.depth"
+        )
+        np.save(cstem + ".npy", color)
+        np.save(dstem + ".npy", depth)
+        self._save_png(
+            cstem + ".png",
+            np.clip(color * 255.0, 0, 255).astype(np.uint8),
+        )
+        self._save_png(
+            dstem + ".png",
+            np.clip(depth * 100000.0, 0, 65535).astype(np.uint16),
+        )
+
+    def save_images(self, iteration: int, color_image, depth_image,
+                    mode: str = "0") -> None:
+        """Raw camera RGB-D (reference logger.py:87-92: color PNG + depth
+        x10^4 uint16 PNG)."""
+        color = np.asarray(color_image)
+        depth = np.asarray(depth_image)
+        cpath = os.path.join(
+            self.color_heightmaps_directory.replace(
+                "color-heightmaps", "color-images"
+            )
+        )
+        dpath = os.path.join(
+            self.depth_heightmaps_directory.replace(
+                "depth-heightmaps", "depth-images"
+            )
+        )
+        os.makedirs(cpath, exist_ok=True)
+        os.makedirs(dpath, exist_ok=True)
         np.save(
-            os.path.join(
-                self.depth_heightmaps_directory,
-                f"{iteration:06d}.{mode}.depth.npy",
-            ),
-            np.asarray(depth_heightmap),
+            os.path.join(cpath, f"{iteration:06d}.{mode}.color.npy"), color
+        )
+        self._save_png(
+            os.path.join(cpath, f"{iteration:06d}.{mode}.color.png"),
+            np.clip(color * 255.0, 0, 255).astype(np.uint8),
+        )
+        self._save_png(
+            os.path.join(dpath, f"{iteration:06d}.{mode}.depth.png"),
+            np.clip(depth * 10000.0, 0, 65535).astype(np.uint16),
         )
 
     def save_visualizations(self, iteration: int, affordance_vis, name: str):
-        np.save(
-            os.path.join(
-                self.visualizations_directory,
-                f"{iteration:06d}.{name}.npy",
-            ),
-            np.asarray(affordance_vis),
+        arr = np.asarray(affordance_vis)
+        stem = os.path.join(
+            self.visualizations_directory, f"{iteration:06d}.{name}"
         )
+        np.save(stem + ".npy", arr)
+        if arr.ndim == 3 and arr.shape[-1] == 3:
+            self._save_png(
+                stem + ".png",
+                np.clip(arr * 255.0, 0, 255).astype(np.uint8),
+            )
 
     def close(self):
+        if self._async and self._queue is not None:
+            self.flush()
+            self._queue.put(None)
+            self._thread.join(timeout=10.0)
+            self._queue = None
+            self._async = False
         for f in self._files.values():
             f.close()
         self._files.clear()
+        for m in self._mirrors.values():
+            m.close()
+        self._mirrors.clear()

@@ -90,3 +90,73 @@ class TestLogger:
             f"{lg.color_heightmaps_directory}/000003.0.color.npy"
         )
         lg.close()
+
+
+class TestAsyncLogger:
+    def test_async_rows_ordered_and_flushed(self, tmp_path):
+        from smg_tpu.utils.logger import Logger
+
+        lg = Logger(False, str(tmp_path))
+        for i in range(50):
+            lg.write_to_log("training_loss", [[float(i), float(i) * 0.5]])
+        lg.flush()
+        arr = lg.read_log("training_loss")
+        assert arr.shape == (50, 2)
+        assert arr[:, 0].tolist() == [float(i) for i in range(50)]
+        lg.close()
+
+    def test_sync_mode_equivalent(self, tmp_path):
+        from smg_tpu.utils.logger import Logger
+
+        lg = Logger(False, str(tmp_path), async_writes=False)
+        lg.write_to_log("reward-value", [[1.5], [2.5]])
+        assert lg.read_log("reward-value").tolist() == [1.5, 2.5]
+        lg.close()
+
+    def test_native_binary_mirror(self, tmp_path):
+        from smg_tpu.utils import native as native_mod
+        from smg_tpu.utils.logger import Logger
+
+        lg = Logger(False, str(tmp_path))
+        if not lg._native_ok:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        lg.write_to_log("reward-value", [[1.0], [2.0], [3.0]])
+        lg.close()
+        import os
+
+        rows = native_mod.read_binary_log(
+            os.path.join(lg.transitions_directory, "reward-value.log.bin")
+        )
+        assert [float(r[0]) for r in rows] == [1.0, 2.0, 3.0]
+
+    def test_imagery_pngs(self, tmp_path):
+        import os
+
+        from smg_tpu.utils.logger import Logger
+
+        lg = Logger(False, str(tmp_path))
+        color = np.random.RandomState(0).rand(32, 32, 3)
+        depth = np.random.RandomState(1).rand(32, 32) * 0.1
+        lg.save_heightmaps(7, color, depth)
+        lg.save_visualizations(7, color, "action")
+        assert os.path.exists(
+            f"{lg.color_heightmaps_directory}/000007.0.color.png"
+        )
+        assert os.path.exists(
+            f"{lg.depth_heightmaps_directory}/000007.0.depth.png"
+        )
+        assert os.path.exists(
+            f"{lg.visualizations_directory}/000007.action.png"
+        )
+        # Depth PNG preserves the x100000 uint16 scale.
+        from PIL import Image
+
+        img = np.asarray(Image.open(
+            f"{lg.depth_heightmaps_directory}/000007.0.depth.png"
+        ))
+        np.testing.assert_allclose(
+            img, np.clip(depth * 100000.0, 0, 65535).astype(np.uint16)
+        )
+        lg.close()
