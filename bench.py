@@ -1,60 +1,196 @@
-"""Headline benchmark: physics throughput at 1024 parallel scenes.
+"""Headline benchmark: physics throughput + model MFU + train-step rate.
 
-Measures the batched rigid-body stepper (Pallas pairwise-contact kernel +
-SoA state prep + integration + gripper FK) advancing 1024 scenes on one
-chip, reported as aggregate scene-steps/second. The baseline target is BASELINE.json's north star:
->= 10,000 physics steps/sec/chip at 1024 parallel scenes (the reference's
-CoppeliaSim/Vortex setup is RPC-bound at roughly real time for ONE scene —
-tens of steps/sec).
+Measures, on one chip:
 
-Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+1. physics: the batched rigid-body stepper (Pallas pairwise-contact kernel
+   + SoA state prep + integration + gripper FK) advancing 1024 scenes,
+   as aggregate scene-steps/second — the BASELINE.json north star is
+   >= 10,000 (the reference's CoppeliaSim/Vortex setup is RPC-bound at
+   roughly real time for ONE scene);
+2. model: the two-stream DenseNet-121 affordance score (the dominant cost
+   of a real training step, reference models.py forward) at input 224 and
+   the reference-parity 640, reported as TFLOP/s and MFU against the
+   chip's bf16 peak (FLOPs from XLA's compiled cost analysis);
+3. train_step: the full sense->score->label->update->execute loop step
+   (DenseNet-121 @ 224, 8 scenes), as scenes/second.
+
+Prints exactly ONE JSON line; the headline metric keeps the round-1
+physics contract, the model/train numbers ride in "extra".
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
+from smg_tpu.utils.cache import enable_persistent_cache
 
-def main() -> None:
+enable_persistent_cache()
+
+
+def _progress(msg: str) -> None:
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
+
+# bf16 peak FLOP/s per chip by device kind (public figures).
+PEAK_BF16 = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
+
+
+def _peak() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_BF16.items():
+        if kind.startswith(k):
+            return v
+    return 197e12
+
+
+def _timeit(fn, *args, n_calls: int = 10, warmup: int = 2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_calls
+
+
+def bench_physics() -> float:
     from smg_tpu.physics import scene as scene_mod
     from smg_tpu.physics import stepper
 
     B = 1024
     steps_per_call = 100
     keys = jax.random.split(jax.random.PRNGKey(0), B)
-
     reset = jax.jit(
         jax.vmap(lambda k: scene_mod.reset_scene(k, settle_steps=50))
     )
     batch = jax.block_until_ready(reset(keys))
-
     roll = jax.jit(
         lambda b: stepper.run_steps_batched(b, b.gripper, steps_per_call)
     )
-    # Warmup (compile).
+    # Self-feeding rollout: time with the output as the next input.
     batch = jax.block_until_ready(roll(batch))
-
     n_calls = 10
     t0 = time.perf_counter()
     for _ in range(n_calls):
         batch = roll(batch)
     jax.block_until_ready(batch)
     dt = time.perf_counter() - t0
+    return n_calls * steps_per_call * B / dt
 
-    scene_steps_per_sec = n_calls * steps_per_call * B / dt
+
+def bench_model(input_size: int, streams: int = 64):
+    """Two-stream DenseNet-121 score: TFLOP/s + MFU at `input_size`.
+
+    `streams` object-masked streams against one scene stream — the shape
+    of a real scoring call (trainer.score_scene batches all object slots
+    of a scene chunk into one model call).
+    """
+    from smg_tpu.models import affordance as aff
+    from smg_tpu.models.affordance import AffordanceNet, ModelConfig
+
+    cfg = ModelConfig(
+        method="reinforcement", trunk="densenet121", input_size=input_size
+    )
+    params, stats = aff.init_params(jax.random.PRNGKey(0), cfg)
+    model = AffordanceNet(cfg)
+    S = input_size
+
+    def fwd(scene_img, mask_imgs):
+        return model.apply(
+            {"params": params, "batch_stats": stats},
+            scene_img, mask_imgs, 0, False, method=AffordanceNet.score,
+        )
+
+    jfwd = jax.jit(fwd)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    scene = jax.random.normal(k1, (1, S, S, 3), jnp.float32)
+    masks = jax.random.normal(k2, (1, streams, S, S, 3), jnp.float32)
+
+    compiled = jfwd.lower(scene, masks).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    dt = _timeit(jfwd, scene, masks, n_calls=5)
+    tflops = flops / dt / 1e12 if flops else 0.0
+    return tflops, tflops * 1e12 / _peak(), dt
+
+
+def bench_train_step(batch_size: int = 8):
+    """Full training-loop step rate (DenseNet-121 @ 224), scenes/s."""
+    import functools
+
+    from smg_tpu.models.affordance import ModelConfig
+    from smg_tpu.train.loop import LoopConfig, init_loop, train_step
+    from smg_tpu.train.trainer import TrainConfig, Trainer
+    from smg_tpu.envs.smg_env import EnvConfig
+
+    cfg = LoopConfig(
+        env=EnvConfig(is_pe=True, is_oo=True, method="reinforcement"),
+        batch_size=batch_size,
+    )
+    trainer = Trainer(
+        TrainConfig(
+            model=ModelConfig(method="reinforcement", trunk="densenet121",
+                              input_size=224),
+            method="reinforcement", scene_chunk=batch_size,
+        )
+    )
+    state = init_loop(jax.random.PRNGKey(0), trainer, cfg)
+    step = jax.jit(functools.partial(train_step, trainer, cfg))
+
+    # Warmup: compile + reach the steady-state cache (2 calls).
+    state, m = step(state)
+    state, m = step(state)
+    jax.block_until_ready(m.loss)
+    n_calls = 5
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, m = step(state)
+    jax.block_until_ready(m.loss)
+    dt = (time.perf_counter() - t0) / n_calls
+    return batch_size / dt, dt
+
+
+def main() -> None:
+    t0 = time.time()
+    physics = bench_physics()
+    _progress(f"physics done {time.time() - t0:.0f}s")
+    tflops224, mfu224, dt224 = bench_model(224)
+    _progress(f"model 224 done {time.time() - t0:.0f}s")
+    tflops640, mfu640, dt640 = bench_model(640, streams=16)
+    _progress(f"model 640 done {time.time() - t0:.0f}s")
+    scenes_per_sec, step_dt = bench_train_step()
+    _progress(f"train_step done {time.time() - t0:.0f}s")
     baseline = 10_000.0  # BASELINE.json: >=10k physics steps/sec/chip
     print(
         json.dumps(
             {
                 "metric": "physics_scene_steps_per_sec_at_1024_scenes",
-                "value": round(scene_steps_per_sec, 1),
+                "value": round(physics, 1),
                 "unit": "scene-steps/s/chip",
-                "vs_baseline": round(scene_steps_per_sec / baseline, 2),
+                "vs_baseline": round(physics / baseline, 2),
+                "extra": {
+                    "model_score_tflops_224": round(tflops224, 1),
+                    "model_score_mfu_224": round(mfu224, 3),
+                    "model_score_ms_224_b65": round(dt224 * 1e3, 2),
+                    "model_score_tflops_640": round(tflops640, 1),
+                    "model_score_mfu_640": round(mfu640, 3),
+                    "model_score_ms_640_b17": round(dt640 * 1e3, 2),
+                    "train_step_scenes_per_sec": round(scenes_per_sec, 2),
+                    "train_step_ms_b8": round(step_dt * 1e3, 1),
+                },
             }
         )
     )
