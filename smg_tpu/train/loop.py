@@ -167,9 +167,11 @@ def init_loop(
     key: jax.Array, trainer: Trainer, cfg: LoopConfig
 ) -> LoopState:
     k_scenes, k_model, k_loop = jax.random.split(key, 3)
-    scenes = jax.vmap(lambda k: env.reset(k, cfg.env))(
-        jax.random.split(k_scenes, cfg.batch_size)
-    )
+    # jit the batched reset: eager vmap dispatches the settle scan
+    # op-by-op through the batching interpreter (minutes at batch >= 4).
+    scenes = jax.jit(
+        jax.vmap(lambda k: env.reset(k, cfg.env))
+    )(jax.random.split(k_scenes, cfg.batch_size))
     return _strong(LoopState(
         scenes=scenes,
         trainer=trainer.init_state(k_model),

@@ -59,7 +59,6 @@ class TrainConfig:
     adam_eps: float = 1e-8
     target_update_freq: int = 10         # main.py:450
     is_ets: bool = False
-    pair_chunk: int = 11                 # ETS pair streams per chunk
     scene_chunk: int = 4                 # scenes scored per model call
 
 
@@ -140,14 +139,88 @@ class Trainer:
             scene_in, mask_ins, style, train, method=AffordanceNet.score,
         )
 
-    def _apply_eval(self, params, stats, scene_in, mask_ins, style):
-        """Eval-mode score (running-average BN, no gradients).
+    # ------------------------------------------------------------------
+    # Styled dispatch through ONE compiled trunk instance
+    # ------------------------------------------------------------------
+    #
+    # The three per-style trunks/heads share one architecture, so their
+    # param trees stack on a leading style axis and a *traced* style index
+    # selects a slice. The slice is fed through the model's style-0 slots
+    # (grasp_trunk / grasp_head), so every style's evaluation — scoring,
+    # DQN targets, the update's gradient pass — reuses a single compiled
+    # DenseNet instance instead of inlining one per style and per branch.
+    # The old structure compiled ~12 forward + 6 backward trunk graphs
+    # into one train_step (25+ min of XLA time at DenseNet-121); this
+    # compiles ~3.
 
-        The model merges the scene and mask streams into one trunk batch
-        in eval mode (affordance.AffordanceNet.score), so this is already
-        the full-tile MXU path.
-        """
-        return self._apply(params, stats, scene_in, mask_ins, style)
+    def _stack_styles(self, tree: dict) -> tuple[dict, dict]:
+        """(trunk_stacked, head_stacked) with leading style axis 3.
+
+        With tied_ets_head the ETS slot aliases the suction head
+        (reference models.py:144: style 2 applies suctionnet_val)."""
+        def stack3(a, b, c):
+            return jax.tree_util.tree_map(
+                lambda x, y, z: jnp.stack([x, y, z]), a, b, c
+            )
+
+        tied = self.cfg.model.tied_ets_head
+        trunk = stack3(
+            tree["grasp_trunk"], tree["suction_trunk"], tree["gs_trunk"]
+        )
+        head = stack3(
+            tree["grasp_head"], tree["suction_head"],
+            tree["suction_head"] if tied else tree["gs_head"],
+        )
+        return trunk, head
+
+    def _apply_styled(self, params, stats, scene_in, mask_ins, style_idx,
+                      train: bool = False):
+        """model.score with a traced style index; one trunk instance.
+
+        Returns out (train=False) or (out, mut) where mut =
+        {"grasp_trunk": ..., "grasp_head": ...} holding the selected
+        style's mutated BN statistics (train=True)."""
+        trunk_p, head_p = self._stack_styles(params)
+        trunk_s, head_s = self._stack_styles(stats)
+        sel = lambda t: jax.tree_util.tree_map(lambda x: x[style_idx], t)
+        p = {**params, "grasp_trunk": sel(trunk_p), "grasp_head": sel(head_p)}
+        s = {**stats, "grasp_trunk": sel(trunk_s), "grasp_head": sel(head_s)}
+        if not train:
+            return self.model.apply(
+                {"params": p, "batch_stats": s}, scene_in, mask_ins,
+                STYLE_GRASP, False, method=AffordanceNet.score,
+            )
+        out, mut = self.model.apply(
+            {"params": p, "batch_stats": s}, scene_in, mask_ins,
+            STYLE_GRASP, True, method=AffordanceNet.score,
+            mutable=["batch_stats"],
+        )
+        mut = mut["batch_stats"]
+        return out, {"grasp_trunk": mut["grasp_trunk"],
+                     "grasp_head": mut["grasp_head"]}
+
+    def _scatter_stats(self, old_stats: dict, mut: dict, style) -> dict:
+        """Write a styled call's mutated BN stats back into the named
+        tree at the executed style (tied ETS head -> suction_head)."""
+        where = lambda cond, new_t, old_t: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(cond, n, o), new_t, old_t
+        )
+        tied = self.cfg.model.tied_ets_head
+        new = dict(old_stats)
+        for i, name in enumerate(
+            ("grasp_trunk", "suction_trunk", "gs_trunk")
+        ):
+            new[name] = where(style == i, mut["grasp_trunk"],
+                              old_stats[name])
+        new["grasp_head"] = where(style == 0, mut["grasp_head"],
+                                  old_stats["grasp_head"])
+        upd_s = (style == 1) | (style == 2) if tied else (style == 1)
+        new["suction_head"] = where(upd_s, mut["grasp_head"],
+                                    old_stats["suction_head"])
+        if not tied:
+            new["gs_head"] = where(style == 2, mut["grasp_head"],
+                                   old_stats["gs_head"])
+        return new
 
     def _prep(self, depth_hm):
         return aff.preprocess_depth(depth_hm, self.cfg.model)
@@ -161,54 +234,60 @@ class Trainer:
         The per-object styles 0/1 run as one N-wide batch each, with the
         scene stream rotated for each of cfg.model.num_rotations (the
         in-network rotation of reference models.py:85-93, generalized past
-        the reference's fixed 1); ETS pairs run in chunks of
-        cfg.pair_chunk at rotation 0 (models.py:128 pins rotate_idx = 0).
+        the reference's fixed 1); ETS pairs run in N_SLOTS-wide chunks at
+        rotation 0 (models.py:128 pins rotate_idx = 0).
         """
         cfg = self.cfg
         R = cfg.model.num_rotations
         scene_img = self._prep(scene_depth)  # (S, S, 3)
         obj_depths = scene_depth[None] * masks  # (N, 224, 224)
-        obj_ins = jax.vmap(self._prep)(obj_depths)[None]  # (1, N, S, S, 3)
+        obj_ins = jax.vmap(self._prep)(obj_depths)  # (N, S, S, 3)
 
-        gra_rots, suc_rots = [], []
+        # Every scoring unit — (rotation x {grasp, suction}) over the N
+        # object slots, plus the ETS pair chunks padded to the same slot
+        # width — runs through ONE lax.map whose body is the single
+        # styled trunk instance (see _apply_styled).
+        unit_scenes, unit_masks, unit_styles = [], [], []
         for r in range(R):
             theta = jnp.asarray(r * (2.0 * jnp.pi / R))
             rot_img = (
                 scene_img if r == 0
                 else aff.rotate_image_nearest(scene_img, theta)
-            )[None]
-            gra = self._apply_eval(
-                params, stats, rot_img, obj_ins, STYLE_GRASP
             )
-            suc = self._apply_eval(
-                params, stats, rot_img, obj_ins, STYLE_SUCTION
-            )
-            gra_rots.append(self._postprocess(gra[0])[:, 0])
-            suc_rots.append(self._postprocess(suc[0])[:, 0])
-        scene_in = scene_img[None]
-        gra_conf = jnp.stack(gra_rots, axis=1)  # (N, R)
-        suc_conf = jnp.stack(suc_rots, axis=1)
-
-        gs_conf = jnp.full((N_SLOTS, N_SLOTS), -100.0)
+            for s in (STYLE_GRASP, STYLE_SUCTION):
+                unit_scenes.append(rot_img)
+                unit_masks.append(obj_ins)
+                unit_styles.append(s)
         if cfg.is_ets:
             pair_depths = (
                 scene_depth[None] * (masks[_PI] | masks[_PJ])
             )  # (P, 224, 224)
-            n_chunks = -(-N_PAIRS // cfg.pair_chunk)
-            pad = n_chunks * cfg.pair_chunk - N_PAIRS
-            pair_depths = jnp.pad(pair_depths, ((0, pad), (0, 0), (0, 0)))
-            chunks = pair_depths.reshape(
-                n_chunks, cfg.pair_chunk, *pair_depths.shape[1:]
-            )
+            n_chunks = -(-N_PAIRS // N_SLOTS)
+            pad = n_chunks * N_SLOTS - N_PAIRS
+            pair_ins = jax.vmap(self._prep)(
+                jnp.pad(pair_depths, ((0, pad), (0, 0), (0, 0)))
+            ).reshape(n_chunks, N_SLOTS, *obj_ins.shape[1:])
+            for c in range(n_chunks):
+                unit_scenes.append(scene_img)  # ETS pins rotation 0
+                unit_masks.append(pair_ins[c])
+                unit_styles.append(STYLE_ETS)
 
-            def score_chunk(chunk):
-                ins = jax.vmap(self._prep)(chunk)[None]
-                out = self._apply_eval(
-                    params, stats, scene_in, ins, STYLE_ETS
-                )
-                return self._postprocess(out[0])[:, 0]
+        def unit(args):
+            sc, mk, s = args
+            out = self._apply_styled(params, stats, sc[None], mk[None], s)
+            return self._postprocess(out[0])[:, 0]  # (N_SLOTS,)
 
-            vals = jax.lax.map(score_chunk, chunks).reshape(-1)[:N_PAIRS]
+        outs = jax.lax.map(
+            unit,
+            (jnp.stack(unit_scenes), jnp.stack(unit_masks),
+             jnp.asarray(unit_styles)),
+        )  # (E, N_SLOTS)
+
+        gra_conf = jnp.stack([outs[2 * r] for r in range(R)], axis=1)
+        suc_conf = jnp.stack([outs[2 * r + 1] for r in range(R)], axis=1)
+        gs_conf = jnp.full((N_SLOTS, N_SLOTS), -100.0)
+        if cfg.is_ets:
+            vals = outs[2 * R:].reshape(-1)[:N_PAIRS]
             gs_conf = gs_conf.at[_PI, _PJ].set(vals)
         return SceneScores(
             gra_conf=jnp.where(valid[:, None], gra_conf, -1e9),
@@ -329,16 +408,16 @@ class Trainer:
         return r + self.cfg.future_reward_discount * future, r
 
     # ------------------------------------------------------------------
-    # Style-sorted dispatch: one trunk per scene, not three
+    # Style-sorted dispatch: one trunk evaluation per scene, not three
     # ------------------------------------------------------------------
     #
     # The executed style varies per scene at runtime, but running all three
     # trunks and jnp.select-ing (the naive vmap answer) triples the model
     # FLOPs on the training path. Instead: sort the batch by style, chunk
     # it, and process chunks under a sequential lax.map (scan) where
-    # control flow stays scalar — a style-uniform chunk dispatches through
-    # lax.switch on its first style so exactly ONE trunk executes; only
-    # the <=2 chunks straddling a style boundary fall back to the
+    # control flow stays scalar — a style-uniform chunk runs the styled
+    # trunk ONCE (params gathered by the chunk's style index); only the
+    # <=2 chunks straddling a style boundary fall back to the
     # all-three+select path. Sorting is a gather, fully differentiable.
 
     def _style_chunks(self, arrays: tuple, styles: jax.Array):
@@ -389,37 +468,26 @@ class Trainer:
             sd_c, em_c, ro_c, st_c = args
             scene_imgs, mask_imgs = jax.vmap(prep_one)(sd_c, em_c, ro_c)
 
-            def one_style(s):
-                def br(_):
-                    out = self._apply_eval(
-                        params, stats, scene_imgs, mask_imgs[:, None], s
-                    )  # (C, 1, num_out)
-                    return self._postprocess(out[:, 0])[:, 0]
-                return br
-
-            def mixed(_):
-                outs = [
-                    self._postprocess(
-                        self._apply_eval(
-                            params, stats, scene_imgs, mask_imgs[:, None], s
-                        )[:, 0]
-                    )[:, 0]
-                    for s in (STYLE_GRASP, STYLE_SUCTION, STYLE_ETS)
-                ]
-                return jnp.select(
-                    [st_c == STYLE_GRASP, st_c == STYLE_SUCTION],
-                    [outs[0], outs[1]], outs[2],
-                )
+            def eval_style(s):
+                out = self._apply_styled(
+                    params, stats, scene_imgs, mask_imgs[:, None], s
+                )  # (C, 1, num_out)
+                return self._postprocess(out[:, 0])[:, 0]
 
             s0 = st_c[0]
             uniform = jnp.all(st_c == s0)
-            return jax.lax.cond(
-                uniform,
-                lambda _: jax.lax.switch(
-                    s0, [one_style(s) for s in range(3)], None
-                ),
-                mixed, None,
-            )
+
+            # Both branches route through lax.map so the trunk body is
+            # one shared computation: uniform = 1 trip at s0, mixed = 3
+            # trips + per-scene select.
+            def br_uniform(_):
+                return jax.lax.map(eval_style, s0[None])[0]
+
+            def br_mixed(_):
+                outs = jax.lax.map(eval_style, jnp.arange(3))  # (3, C)
+                return outs[st_c, jnp.arange(st_c.shape[0])]
+
+            return jax.lax.cond(uniform, br_uniform, br_mixed, None)
 
         vals = jax.lax.map(chunk_fn, (sd, em, ro, st)).reshape(-1)
         return vals[:B][inv]
@@ -445,54 +513,50 @@ class Trainer:
                 """Batch-1 train-mode forward with style s (per-scene BN
                 statistics = the reference's minibatch-of-1 backprop,
                 trainer.py:278-384)."""
-                out, mut = self.model.apply(
-                    {"params": params, "batch_stats": stats},
+                out, mut = self._apply_styled(
+                    params, stats,
                     self._prep(scene_depth)[None],
                     self._prep(scene_depth * mask)[None, None],
-                    s, True, method=AffordanceNet.score,
-                    mutable=["batch_stats"],
+                    s, train=True,
                 )
-                return out[0, 0], mut["batch_stats"]
+                return out[0, 0], mut
 
             def chunk_fn(args):
                 sd_c, em_c, valid_c, label_c, st_c = args
+                C = st_c.shape[0]
 
-                def one_style(s):
-                    # Uniform chunk: ONE trunk runs; its mutated stats
-                    # collection already carries the other trunks' stats
-                    # through unchanged.
-                    def br(_):
-                        return jax.vmap(
-                            lambda sd1, em1: one_scene(s, sd1, em1)
-                        )(sd_c, em_c)
-                    return br
-
-                def mixed(_):
-                    def per_scene(sd1, em1, st1):
-                        outs, new_stats = [], stats
-                        for s in (STYLE_GRASP, STYLE_SUCTION, STYLE_ETS):
-                            out, mut = one_scene(s, sd1, em1)
-                            outs.append(out)
-                            new_stats = jax.tree_util.tree_map(
-                                lambda ns, m: jnp.where(st1 == s, m, ns),
-                                new_stats, mut,
-                            )
-                        out = jnp.select(
-                            [st1 == STYLE_GRASP, st1 == STYLE_SUCTION],
-                            [outs[0], outs[1]], outs[2],
-                        )
-                        return out, new_stats
-                    return jax.vmap(per_scene)(sd_c, em_c, st_c)
+                def eval_style(s):
+                    return jax.vmap(
+                        lambda sd1, em1: one_scene(s, sd1, em1)
+                    )(sd_c, em_c)
 
                 s0 = st_c[0]
                 uniform = jnp.all(st_c == s0)
-                outs_c, stats_c = jax.lax.cond(
-                    uniform,
-                    lambda _: jax.lax.switch(
-                        s0, [one_style(s) for s in range(3)], None
-                    ),
-                    mixed, None,
-                )  # (C, num_out), stats with a leading (C,) axis
+
+                # Shared trunk body via lax.map (1 trip uniform, 3 mixed).
+                def br_uniform(_):
+                    outs, muts = jax.lax.map(eval_style, s0[None])
+                    picked = jax.tree_util.tree_map(lambda x: x[0], muts)
+                    return outs[0], picked
+
+                def br_mixed(_):
+                    outs, muts = jax.lax.map(eval_style, jnp.arange(3))
+                    # outs (3, C, num_out); mut leaves (3, C, ...): pick
+                    # each scene's executed style.
+                    cidx = jnp.arange(C)
+                    picked = jax.tree_util.tree_map(
+                        lambda x: x[st_c, cidx], muts
+                    )
+                    return outs[st_c, cidx], picked
+
+                outs_c, mut_c = jax.lax.cond(
+                    uniform, br_uniform, br_mixed, None
+                )  # (C, num_out); mut leaves (C, ...) selected-style stats
+                # Full named stats per scene: the executed style's slots
+                # take the mutated values, the rest stay.
+                stats_c = jax.vmap(
+                    lambda m, st1: self._scatter_stats(stats, m, st1)
+                )(mut_c, st_c)
                 if reactive:
                     loss_c = jax.vmap(losses.reactive_ce)(
                         outs_c, label_c.astype(jnp.int32)
