@@ -182,7 +182,16 @@ class Trainer:
         style's mutated BN statistics (train=True)."""
         trunk_p, head_p = self._stack_styles(params)
         trunk_s, head_s = self._stack_styles(stats)
-        sel = lambda t: jax.tree_util.tree_map(lambda x: x[style_idx], t)
+        # dynamic_index_in_dim, NOT x[style_idx]: a traced-index gather
+        # transposes to a scatter (pathological on XLA:CPU — 40x slower
+        # update steps); dynamic_slice transposes to a dense
+        # dynamic_update_slice.
+        sel = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(
+                x, style_idx, axis=0, keepdims=False
+            ),
+            t,
+        )
         p = {**params, "grasp_trunk": sel(trunk_p), "grasp_head": sel(head_p)}
         s = {**stats, "grasp_trunk": sel(trunk_s), "grasp_head": sel(head_s)}
         if not train:
@@ -277,11 +286,19 @@ class Trainer:
             out = self._apply_styled(params, stats, sc[None], mk[None], s)
             return self._postprocess(out[0])[:, 0]  # (N_SLOTS,)
 
-        outs = jax.lax.map(
-            unit,
-            (jnp.stack(unit_scenes), jnp.stack(unit_masks),
-             jnp.asarray(unit_styles)),
-        )  # (E, N_SLOTS)
+        if self._unroll_styles:
+            # CPU: inline the units (forward passes inside scan bodies
+            # also run single-threaded on XLA:CPU).
+            outs = jnp.stack([
+                unit((sc, mk, jnp.asarray(s)))
+                for sc, mk, s in zip(unit_scenes, unit_masks, unit_styles)
+            ])
+        else:
+            outs = jax.lax.map(
+                unit,
+                (jnp.stack(unit_scenes), jnp.stack(unit_masks),
+                 jnp.asarray(unit_styles)),
+            )  # (E, N_SLOTS)
 
         gra_conf = jnp.stack([outs[2 * r] for r in range(R)], axis=1)
         suc_conf = jnp.stack([outs[2 * r + 1] for r in range(R)], axis=1)
@@ -312,6 +329,9 @@ class Trainer:
         """Batched scoring over scenes, chunked to bound activation memory."""
         params = state.target_params if use_target else state.params
         fn = partial(self.score_scene, params, state.batch_stats)
+        if self._unroll_styles:
+            # CPU: plain vmap (scan chunking would run single-threaded).
+            return jax.vmap(fn)(scene_depths, masks, valid)
         return jax.lax.map(
             lambda args: fn(*args), (scene_depths, masks, valid),
             batch_size=self.cfg.scene_chunk,
@@ -419,6 +439,19 @@ class Trainer:
     # trunk ONCE (params gathered by the chunk's style index); only the
     # <=2 chunks straddling a style boundary fall back to the
     # all-three+select path. Sorting is a gather, fully differentiable.
+    #
+    # Backend split: XLA:CPU executes control-flow bodies WITHOUT intra-op
+    # parallelism, making any grad-carrying lax.cond/scan ~35x slower than
+    # the same body inline (measured: 0.55s -> 21s for one styled grad).
+    # On CPU (tests, the virtual-mesh dryrun — tiny models) the dispatch
+    # therefore unrolls to the naive all-three+select form with no control
+    # flow; on TPU (real runs — DenseNet-121) the styled chunked form
+    # keeps compile time and executed FLOPs low. Both forms are oracle-
+    # tested equal.
+
+    @property
+    def _unroll_styles(self) -> bool:
+        return jax.default_backend() == "cpu"
 
     def _style_chunks(self, arrays: tuple, styles: jax.Array):
         """Sort per-scene arrays by style and reshape to (n_chunks, C, ...).
@@ -453,9 +486,6 @@ class Trainer:
         R = self.cfg.model.num_rotations
         if rotations is None:
             rotations = jnp.zeros((scene_depths.shape[0],), jnp.int32)
-        (sd, em, ro), st, inv, B = self._style_chunks(
-            (scene_depths, exec_masks, rotations), styles
-        )
 
         def prep_one(scene_depth, mask, rot_idx):
             scene_img = self._prep(scene_depth)
@@ -463,6 +493,29 @@ class Trainer:
                 theta = rot_idx.astype(jnp.float32) * (2.0 * jnp.pi / R)
                 scene_img = aff.rotate_image_nearest(scene_img, theta)
             return scene_img, self._prep(scene_depth * mask)
+
+        if self._unroll_styles:
+            # CPU: no control flow (see the backend-split note above).
+            scene_imgs, mask_imgs = jax.vmap(prep_one)(
+                scene_depths, exec_masks, rotations
+            )
+            outs = [
+                self._postprocess(
+                    self._apply_styled(
+                        params, stats, scene_imgs, mask_imgs[:, None],
+                        jnp.asarray(s),
+                    )[:, 0]
+                )[:, 0]
+                for s in range(3)
+            ]
+            return jnp.select(
+                [styles == STYLE_GRASP, styles == STYLE_SUCTION],
+                [outs[0], outs[1]], outs[2],
+            )
+
+        (sd, em, ro), st, inv, B = self._style_chunks(
+            (scene_depths, exec_masks, rotations), styles
+        )
 
         def chunk_fn(args):
             sd_c, em_c, ro_c, st_c = args
@@ -520,6 +573,41 @@ class Trainer:
                     s, train=True,
                 )
                 return out[0, 0], mut
+
+            if self._unroll_styles:
+                # CPU: no control flow (see the backend-split note).
+                def per_scene(sd1, em1, st1):
+                    outs, muts = [], []
+                    for s in range(3):
+                        out, mut = one_scene(jnp.asarray(s), sd1, em1)
+                        outs.append(out)
+                        muts.append(mut)
+                    sel = lambda a, b, c: jnp.select(
+                        [st1 == STYLE_GRASP, st1 == STYLE_SUCTION],
+                        [a, b], c,
+                    )
+                    out = sel(*outs)
+                    mut = jax.tree_util.tree_map(sel, *muts)
+                    return out, mut
+
+                outs_b, mut_b = jax.vmap(per_scene)(
+                    exp.scene_depth, exp.exec_mask, exp.style
+                )
+                stats_b = jax.vmap(
+                    lambda m, st1: self._scatter_stats(stats, m, st1)
+                )(mut_b, exp.style)
+                if reactive:
+                    loss_b = jax.vmap(losses.reactive_ce)(
+                        outs_b, labels.astype(jnp.int32)
+                    )
+                else:
+                    loss_b = jax.vmap(losses.huber_q)(outs_b[:, 0], labels)
+                loss_b = jnp.where(exp.valid, loss_b, 0.0)
+                n = jnp.maximum(exp.valid.sum(), 1)
+                new_stats = jax.tree_util.tree_map(
+                    lambda s: s.mean(axis=0), stats_b
+                )
+                return loss_b.sum() / n, new_stats
 
             def chunk_fn(args):
                 sd_c, em_c, valid_c, label_c, st_c = args
