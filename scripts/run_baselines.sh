@@ -35,7 +35,8 @@ for i in "${!NAMES[@]}"; do
   dir="$OUT/$name"
   mkdir -p "$dir"
   echo "=== train $name ==="
-  python -m smg_tpu.cli.main --is_sim ${FLAGS[$i]} $COMMON \
+  timeout "${RUN_TIMEOUT:-5400}" \
+    python -m smg_tpu.cli.main --is_sim ${FLAGS[$i]} $COMMON \
     --training_episode "$TRAIN_EP" --logging_directory "$dir" \
     2>&1 | tail -3
   run_dir=$(ls -dt "$dir"/*/ | head -1)
@@ -46,7 +47,8 @@ for i in "${!NAMES[@]}"; do
     echo "=== test $name ==="
     testdir="$OUT/${name}_test"
     mkdir -p "$testdir"
-    python -m smg_tpu.cli.main --is_sim ${FLAGS[$i]} $COMMON \
+    timeout "${RUN_TIMEOUT:-5400}" \
+      python -m smg_tpu.cli.main --is_sim ${FLAGS[$i]} $COMMON \
       --is_testing --load_snapshot --snapshot_file "$snap" \
       --testing_episode "$TEST_EP" --logging_directory "$testdir" \
       2>&1 | tail -3
