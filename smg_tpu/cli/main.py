@@ -176,6 +176,31 @@ def main(argv=None) -> None:
                 f" (iteration {resumed_iteration})"
             )
 
+    if cfg.pretrained_trunks:
+        # Self-supervised warm start: copy the reconstruction-pretrained
+        # trunk (+ BN stats) into all three affordance trunks — where the
+        # reference loaded ImageNet weights (models.py:22-24,308-310).
+        from smg_tpu.train import pretrain
+
+        pcfg = pretrain.PretrainConfig(model=cfg.train.model)
+        pmodel = pretrain.ReconstructionModel(pcfg)
+        template = pmodel.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), False
+        )
+        template = {"params": template["params"],
+                    "batch_stats": template.get("batch_stats", {})}
+        loaded = checkpoints.load_params(cfg.pretrained_trunks, template)
+        new_p, new_s = pretrain.load_pretrained_trunks(
+            state.trainer.params, state.trainer.batch_stats, loaded
+        )
+        state = state.replace(
+            trainer=state.trainer.replace(
+                params=new_p, batch_stats=new_s,
+                target_params=jax.tree_util.tree_map(jnp.copy, new_p),
+            )
+        )
+        print(f"pretrained trunks loaded from: {cfg.pretrained_trunks}")
+
     if cfg.load_snapshot and cfg.snapshot_file:
         params = checkpoints.load_params(
             cfg.snapshot_file, state.trainer.params

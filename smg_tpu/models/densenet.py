@@ -156,9 +156,10 @@ class TinyTrunk(nn.Module):
         return x
 
 
-def make_trunk(kind: str, dtype=jnp.bfloat16) -> nn.Module:
+def make_trunk(kind: str, dtype=jnp.bfloat16, name: str | None = None
+               ) -> nn.Module:
     if kind == "densenet121":
-        return DenseNetTrunk(dtype=dtype)
+        return DenseNetTrunk(dtype=dtype, name=name)
     if kind == "tiny":
-        return TinyTrunk(dtype=dtype)
+        return TinyTrunk(dtype=dtype, name=name)
     raise ValueError(f"unknown trunk '{kind}'")

@@ -36,6 +36,7 @@ class ExperimentConfig:
     max_iterations: int = 0  # 0 = run until the episode target
     data_parallel: int = 1   # devices on the mesh `data` axis (1 = plain jit)
     segmenter_checkpoint: str = ""  # params for --segmentation learned
+    pretrained_trunks: str = ""     # cli.pretrain_trunks checkpoint
     imagery_every: int = 1   # save scene-0 heightmaps/overlays every K
     #                          iterations (reference: every; 0 disables)
 
@@ -110,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--segmenter_checkpoint", default="",
                    help="orbax params path from cli.train_segmenter "
                         "(required with --segmentation learned)")
+    p.add_argument("--pretrained_trunks", default="",
+                   help="initialize the three affordance trunks from a "
+                        "cli.pretrain_trunks self-supervised checkpoint "
+                        "(the ImageNet-pretrained-init substitute)")
     p.add_argument("--imagery_every", type=int, default=1,
                    help="save scene-0 heightmaps + action overlays every "
                         "K iterations (0 = never; reference saves every "
@@ -157,6 +162,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         max_iterations=args.max_iterations,
         data_parallel=args.data_parallel,
         segmenter_checkpoint=args.segmenter_checkpoint,
+        pretrained_trunks=args.pretrained_trunks,
         imagery_every=args.imagery_every,
     )
 
