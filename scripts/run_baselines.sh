@@ -38,7 +38,8 @@ for i in "${!NAMES[@]}"; do
   timeout "${RUN_TIMEOUT:-5400}" \
     python -m smg_tpu.cli.main --is_sim ${FLAGS[$i]} $COMMON \
     --training_episode "$TRAIN_EP" --logging_directory "$dir" \
-    2>&1 | tail -3
+    > "$dir/train.log" 2>&1
+  tail -4 "$dir/train.log"
   run_dir=$(ls -dt "$dir"/*/ | head -1)
   RUNS+=("${run_dir%/}")
   LABELS+=("$name-train")
@@ -51,7 +52,8 @@ for i in "${!NAMES[@]}"; do
       python -m smg_tpu.cli.main --is_sim ${FLAGS[$i]} $COMMON \
       --is_testing --load_snapshot --snapshot_file "$snap" \
       --testing_episode "$TEST_EP" --logging_directory "$testdir" \
-      2>&1 | tail -3
+      > "$testdir/test.log" 2>&1
+    tail -4 "$testdir/test.log"
     test_run=$(ls -dt "$testdir"/*/ | head -1)
     RUNS+=("${test_run%/}")
     LABELS+=("$name-test")

@@ -562,7 +562,13 @@ class Trainer:
         def loss_fn(params):
             stats = state.batch_stats
 
-            def one_scene(s, scene_depth, mask):
+            # Rematerialized per-scene forward: without jax.checkpoint the
+            # chunk scan stacks every trip's trunk activations for the
+            # backward (batch x styles x DenseNet activations — OOMs a
+            # 16 GB chip at batch 32); with it the backward recomputes
+            # them per chunk from the tiny saved inputs.
+            @jax.checkpoint
+            def one_scene_p(params, s, scene_depth, mask):
                 """Batch-1 train-mode forward with style s (per-scene BN
                 statistics = the reference's minibatch-of-1 backprop,
                 trainer.py:278-384)."""
@@ -573,6 +579,9 @@ class Trainer:
                     s, train=True,
                 )
                 return out[0, 0], mut
+
+            def one_scene(s, scene_depth, mask):
+                return one_scene_p(params, s, scene_depth, mask)
 
             if self._unroll_styles:
                 # CPU: no control flow (see the backend-split note).
