@@ -1,0 +1,203 @@
+"""Fast eval-mode affordance forward: Pallas dense blocks + XLA stem/head.
+
+A pure-function re-implementation of `AffordanceNet.score`'s eval branch
+(models/affordance.py:132-165) that reads the Flax param/batch_stats
+pytrees directly, so the trainer can swap it in for scoring and DQN
+target evaluation without touching the module structure or checkpoints.
+Train mode (batch BN statistics, gradients) stays on the Flax/XLA path.
+
+Parity notes (all tolerance-tested against `model.apply` in
+tests/test_fast_trunk.py):
+- dense blocks + transitions + norm5 run through the fused Pallas block
+  kernel (ops/dense_block_pallas.py);
+- the stem conv collapses its RGB taps to one gray tap: the trunk input
+  is a triplicated depth map (affordance.preprocess_depth), so
+  conv(x, W) == conv(x[..., :1], W.sum(in_axis)) exactly (up to bf16
+  rounding of the summed taps);
+- eval-mode BatchNorm folds to a per-channel f32 affine.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from smg_tpu.ops import dense_block_pallas as dbp
+
+BLOCK_CONFIG = (6, 12, 24, 16)
+
+
+def _bn(norm_p, norm_s):
+    return dbp._bn_affine(norm_p, norm_s)
+
+
+def _stem(tp: dict, ts: dict, x: jax.Array) -> jax.Array:
+    """conv0 (7x7 s2) -> norm0 -> relu -> maxpool 3x3 s2 (densenet.py:100-110)."""
+    k0 = tp["conv0"]["kernel"]                       # (7, 7, 3, 64)
+    kg = k0.sum(axis=2, keepdims=True).astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        x[..., :1].astype(jnp.bfloat16), kg,
+        window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    a0, b0 = _bn(tp["norm0"], ts["norm0"])
+    y = jnp.maximum(y.astype(jnp.float32) * a0 + b0, 0.0).astype(jnp.bfloat16)
+    return jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    ).astype(jnp.bfloat16)
+
+
+def _dense_layer_xla(p: dict, s: dict, x: jax.Array) -> jax.Array:
+    """One dense layer as two full-lane matmuls + 9 shifted adds.
+
+    The torchvision dense layer (densenet.py DenseLayer; reference
+    models.py) is BN->ReLU->1x1(128)->BN->ReLU->3x3(32). XLA lowers the
+    3x3 conv with N=32 output lanes (25% MXU occupancy); here the nine
+    taps are packed on the matmul N axis (128 -> 288, 75% occupancy) and
+    the conv's spatial gather becomes nine pad-slice adds that XLA fuses
+    into the accumulation. Algebraically identical, different rounding.
+    """
+    B, H, W, C = x.shape
+    a1, b1 = _bn(p["norm1"], s["norm1"])
+    h = jnp.maximum(x.astype(jnp.float32) * a1 + b1, 0.0).astype(jnp.bfloat16)
+    w1 = p["conv1"]["kernel"].reshape(C, dbp.BOTTLENECK).astype(jnp.bfloat16)
+    h1 = jnp.dot(
+        h.reshape(-1, C), w1, preferred_element_type=jnp.float32
+    )
+    a2, b2 = _bn(p["norm2"], s["norm2"])
+    h2 = jnp.maximum(h1 * a2 + b2, 0.0).astype(jnp.bfloat16)
+    # (3, 3, 128, 32) -> (128, 9*32): tap t = 3*dy + dx at cols [32t, 32t+32)
+    w2 = (
+        p["conv2"]["kernel"].transpose(2, 0, 1, 3)
+        .reshape(dbp.BOTTLENECK, dbp.N_TAPS * dbp.GROWTH)
+        .astype(jnp.bfloat16)
+    )
+    part = jnp.dot(
+        h2, w2, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16).reshape(B, H, W, dbp.N_TAPS, dbp.GROWTH)
+    partp = jnp.pad(part, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    acc = jnp.zeros((B, H, W, dbp.GROWTH), jnp.float32)
+    for tap in range(dbp.N_TAPS):
+        dy, dx = divmod(tap, 3)
+        acc = acc + partp[:, dy : dy + H, dx : dx + W, tap, :].astype(
+            jnp.float32
+        )
+    return acc.astype(jnp.bfloat16)
+
+
+def _dense_block_xla(bp: dict, bs: dict, y: jax.Array) -> jax.Array:
+    names = sorted(bp, key=lambda n: int(n.removeprefix("denselayer")))
+    for n in names:
+        y = jnp.concatenate([y, _dense_layer_xla(bp[n], bs[n], y)], axis=-1)
+    return y
+
+
+def _transition_xla(tp: dict, ts: dict, y: jax.Array) -> jax.Array:
+    """BN -> ReLU -> avgpool2 -> 1x1 (pool commuted before the linear 1x1:
+    exact, and it quarters the matmul rows)."""
+    a, b = _bn(tp["norm"], ts["norm"])
+    h = jnp.maximum(y.astype(jnp.float32) * a + b, 0.0).astype(jnp.bfloat16)
+    B, H, W, C = h.shape
+    h = h.reshape(B, H // 2, 2, W // 2, 2, C).astype(jnp.float32)
+    h = h.mean(axis=(2, 4)).astype(jnp.bfloat16)
+    k = tp["conv"]["kernel"]
+    out = jnp.dot(
+        h.reshape(-1, C), k.reshape(C, k.shape[3]).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.bfloat16).reshape(B, H // 2, W // 2, k.shape[3])
+
+
+def trunk_features_eval(
+    tp: dict, ts: dict, x: jax.Array,
+    *, interpret: bool = False, taps_packed: bool = True,
+    backend: str = "xla",
+) -> jax.Array:
+    """DenseNet-121 `.features` eval forward: (B, S, S, 3) -> (B, S/32, S/32, 1024).
+
+    tp/ts: one trunk's params/batch_stats subtree (densenet.DenseNetTrunk).
+    backend 'xla': packed-taps matmul lowering (works on any backend);
+    'pallas': the fused dense-block kernel (TPU only).
+    """
+    y = _stem(tp, ts, x)
+    if backend == "xla":
+        for i in range(len(BLOCK_CONFIG)):
+            y = _dense_block_xla(tp[f"denseblock{i+1}"], ts[f"denseblock{i+1}"], y)
+            if i < len(BLOCK_CONFIG) - 1:
+                y = _transition_xla(
+                    tp[f"transition{i+1}"], ts[f"transition{i+1}"], y
+                )
+        a, b = _bn(tp["norm5"], ts["norm5"])
+        return (y.astype(jnp.float32) * a + b).astype(jnp.bfloat16)
+    num_features = 64
+    for i, L in enumerate(BLOCK_CONFIG):
+        bname = f"denseblock{i + 1}"
+        packed = dbp.pack_dense_block(tp[bname], ts[bname])
+        last = i == len(BLOCK_CONFIG) - 1
+        Cf = num_features + 32 * L
+        if last:
+            ep = dbp.pack_final_bn(tp["norm5"], ts["norm5"])
+            C_out, epilogue = Cf, "final_bn"
+        else:
+            tname = f"transition{i + 1}"
+            ep = dbp.pack_transition(tp[tname], ts[tname])
+            C_out, epilogue = Cf // 2, "transition"
+        B, H, W = y.shape[:3]
+        geom = dbp.choose_geom(H, W, num_features, L, epilogue, C_out, B)
+        y = dbp.dense_block_apply(
+            y, packed, ep, geom, taps_packed=taps_packed, interpret=interpret
+        )
+        num_features = C_out
+    return y
+
+
+def head_eval(hp: dict, hs: dict, x: jax.Array, num_out: int) -> jax.Array:
+    """AffordanceHead eval forward (affordance.py:70-99): (B, h, w, 2048) -> (B, num_out)."""
+    a0, b0 = _bn(hp["norm0"], hs["norm0"])
+    h = jnp.maximum(x.astype(jnp.float32) * a0 + b0, 0.0).astype(jnp.bfloat16)
+    k0 = hp["conv0"]["kernel"]                        # (1, 1, 2048, 64)
+    h = jnp.dot(
+        h.reshape(-1, k0.shape[2]), k0.reshape(k0.shape[2], 64).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    a1, b1 = _bn(hp["norm1"], hs["norm1"])
+    h = jnp.maximum(h * a1 + b1, 0.0).astype(jnp.bfloat16)
+    k1 = hp["conv1"]["kernel"]                        # (fh, fw, 64, num_out)
+    B = x.shape[0]
+    out = jnp.dot(
+        h.reshape(B, -1), k1.reshape(-1, num_out).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.float32)
+
+
+def score_eval(
+    params: dict, stats: dict, scene_img: jax.Array, mask_imgs: jax.Array,
+    num_out: int,
+    *, trunk_key: str = "grasp_trunk", head_key: str = "grasp_head",
+    interpret: bool = False, backend: str = "xla",
+) -> jax.Array:
+    """Eval-mode AffordanceNet.score (affordance.py:132-165): one merged
+    trunk call over the scene + masked streams, scene features broadcast
+    across the M object slots, head on the 2048-channel concat.
+
+    Returns (B, M, num_out) float32.
+    """
+    B, M = mask_imgs.shape[0], mask_imgs.shape[1]
+    mask_flat = mask_imgs.reshape((B * M,) + mask_imgs.shape[2:])
+    feats = trunk_features_eval(
+        params[trunk_key], stats[trunk_key],
+        jnp.concatenate([scene_img, mask_flat], axis=0),
+        interpret=interpret, backend=backend,
+    )
+    scene_feat, mask_feat = feats[:B], feats[B:]
+    h, w, c = scene_feat.shape[1:]
+    scene_rep = jnp.broadcast_to(
+        scene_feat[:, None], (B, M, h, w, c)
+    ).reshape(B * M, h, w, c)
+    both = jnp.concatenate(
+        [scene_rep, mask_feat.astype(scene_rep.dtype)], axis=-1
+    )
+    out = head_eval(params[head_key], stats[head_key], both, num_out)
+    return out.reshape(B, M, num_out)
