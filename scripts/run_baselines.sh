@@ -48,9 +48,12 @@ for i in "${!NAMES[@]}"; do
     echo "=== test $name ==="
     testdir="$OUT/${name}_test"
     mkdir -p "$testdir"
+    # Held-out object set (reference README.md:76-113 testing command
+    # passes --obj_mesh_dir datasets/testing).
     timeout "${RUN_TIMEOUT:-5400}" \
       python -m smg_tpu.cli.main --is_sim ${FLAGS[$i]} $COMMON \
       --is_testing --load_snapshot --snapshot_file "$snap" \
+      --obj_mesh_dir datasets/testing \
       --testing_episode "$TEST_EP" --logging_directory "$testdir" \
       > "$testdir/test.log" 2>&1
     tail -4 "$testdir/test.log"

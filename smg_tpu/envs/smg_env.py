@@ -18,6 +18,8 @@ Everything vmaps over scenes and jits end-to-end.
 
 from __future__ import annotations
 
+import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -57,6 +59,35 @@ class EnvConfig:
     # "learned" runs the trained SlotSegmenter on the color+depth
     # heightmaps (the Mask-R-CNN-parity path, reference masks.py:97).
     segmentation: str = "exact"
+    # Object set (--obj_mesh_dir, reference robot.py:36-49). A directory
+    # with enveloping/ + sucking/ .obj subdirs is ingested through the
+    # native mesh fitter; the sentinel names datasets/training and
+    # datasets/testing (the reference's own paths, absent here: the
+    # dataset blob is a missing LFS pointer) select the matching
+    # procedural catalog. "" falls back to is_testing's catalog.
+    obj_mesh_dir: str = ""
+
+
+@functools.lru_cache(maxsize=8)
+def resolve_catalogs(cfg: EnvConfig):
+    """The --obj_mesh_dir to catalog mapping (host-side, cached)."""
+    d = cfg.obj_mesh_dir
+    if d and os.path.isdir(os.path.join(d, "enveloping")):
+        from smg_tpu.utils import meshes
+
+        return meshes.load_object_sets(d)
+    if d and os.path.basename(os.path.normpath(d)) not in (
+        "training", "testing"
+    ):
+        raise FileNotFoundError(
+            f"--obj_mesh_dir {d!r}: no enveloping/ + sucking/ .obj dirs, "
+            "and not a datasets/{training,testing} sentinel"
+        )
+    testing = (
+        os.path.basename(os.path.normpath(d)) == "testing" if d
+        else cfg.is_testing
+    )
+    return scene_mod.default_catalogs(testing)
 
 
 @struct.dataclass
@@ -99,7 +130,8 @@ class StepOutcome:
 def reset(key: jax.Array, cfg: EnvConfig) -> Scene:
     """One fresh episode scene (vmap over keys for a batch)."""
     return scene_mod.reset_scene(
-        key, cfg.is_cluttered, cfg.is_testing, cfg.settle_steps
+        key, cfg.is_cluttered, cfg.is_testing, cfg.settle_steps,
+        catalogs=resolve_catalogs(cfg),
     )
 
 

@@ -55,11 +55,28 @@ def drop_grid(is_cluttered: bool) -> jax.Array:
     return jnp.stack([gx, gy], axis=-1)  # (12, 2)
 
 
+def default_catalogs(is_testing: bool = False):
+    """((g_types, g_he), (s_types, s_he)): the procedural analog of the
+    reference's datasets/{training,testing} mesh sets (robot.py:36-49)."""
+    if is_testing:
+        return (shapes.TESTING_ENVELOPING_CATALOG,
+                shapes.TESTING_SUCKING_CATALOG)
+    return shapes.ENVELOPING_CATALOG, shapes.SUCKING_CATALOG
+
+
 def spawn_objects(key: jax.Array, is_cluttered: bool = False,
-                  is_testing: bool = False) -> Objects:
-    """Sample a fresh object set into the fixed slots (no settling yet)."""
-    del is_testing  # same catalogs for now; split catalogs are a config knob
-    k_ng, k_ns, k_cat, k_cells, k_yaw, k_tax, k_tang = jax.random.split(key, 7)
+                  is_testing: bool = False, catalogs=None) -> Objects:
+    """Sample a fresh object set into the fixed slots (no settling yet).
+
+    `catalogs` = ((g_types, g_he), (s_types, s_he)) — from
+    utils.meshes.load_object_sets (an --obj_mesh_dir ingest) or
+    default_catalogs; None picks the procedural set by `is_testing`.
+    """
+    if catalogs is None:
+        catalogs = default_catalogs(is_testing)
+    k_ng, k_ns, k_catg, k_cats, k_cells, k_yaw, k_tax, k_tang = (
+        jax.random.split(key, 8)
+    )
 
     # Counts: 0-5 enveloping; 1-5 sucking when no enveloping objects.
     n_g = jax.random.randint(k_ng, (), 0, 6)
@@ -71,17 +88,16 @@ def spawn_objects(key: jax.Array, is_cluttered: bool = False,
     active = slot < n_total
     kind = jnp.where(slot < n_g, KIND_ENVELOPING, KIND_SUCKING).astype(jnp.int32)
 
-    # Catalog picks.
-    g_types = jnp.asarray(shapes.ENVELOPING_CATALOG[0])
-    g_he = jnp.asarray(shapes.ENVELOPING_CATALOG[1])
-    s_types = jnp.asarray(shapes.SUCKING_CATALOG[0])
-    s_he = jnp.asarray(shapes.SUCKING_CATALOG[1])
-    cat_idx = jax.random.randint(k_cat, (N_SLOTS,), 0, g_types.shape[0])
-    shape_type = jnp.where(
-        kind == KIND_ENVELOPING, g_types[cat_idx], s_types[cat_idx]
+    # Catalog picks (independent index streams: the two catalogs may have
+    # different lengths, reference robot.py:119-120).
+    (g_types, g_he), (s_types, s_he) = (
+        (jnp.asarray(t), jnp.asarray(h)) for t, h in catalogs
     )
+    gi = jax.random.randint(k_catg, (N_SLOTS,), 0, g_types.shape[0])
+    si = jax.random.randint(k_cats, (N_SLOTS,), 0, s_types.shape[0])
+    shape_type = jnp.where(kind == KIND_ENVELOPING, g_types[gi], s_types[si])
     half_extents = jnp.where(
-        (kind == KIND_ENVELOPING)[:, None], g_he[cat_idx], s_he[cat_idx]
+        (kind == KIND_ENVELOPING)[:, None], g_he[gi], s_he[si]
     )
 
     # Drop cells: permutation of the first 10 grid cells (robot.py:125).
@@ -134,12 +150,15 @@ def reset_scene(
     is_testing: bool = False,
     settle_steps: int = 250,
     params: stepper.StepperParams = stepper.DEFAULT,
+    catalogs=None,
 ) -> Scene:
     """Fresh episode scene: spawn objects, settle, home the gripper.
 
     The restart_sim + add_objects pair (reference main.py:97-100) as one
     pure function — jit/vmap over keys for a batch of scenes.
     """
-    sc = Scene(objects=spawn_objects(key, is_cluttered, is_testing),
-               gripper=Gripper.home(), t=jnp.asarray(0, jnp.int32))
+    sc = Scene(
+        objects=spawn_objects(key, is_cluttered, is_testing, catalogs),
+        gripper=Gripper.home(), t=jnp.asarray(0, jnp.int32),
+    )
     return stepper.settle(sc, settle_steps, params)

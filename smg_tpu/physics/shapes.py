@@ -183,3 +183,32 @@ SUCKING_CATALOG = _catalog(
         (CYLINDER, (0.026, 0.026, 0.010)),  # wide puck
     ]
 )
+
+# Held-out evaluation catalogs: the datasets/testing analog (reference
+# robot.py:36-49 scans a separate mesh directory for testing;
+# README.md:76-113 passes --obj_mesh_dir datasets/testing). Every entry
+# differs from the training catalogs in size and/or type mix, so testing
+# success cannot come from memorizing training geometry.
+TESTING_ENVELOPING_CATALOG = _catalog(
+    [
+        (BOX, (0.033, 0.013, 0.018)),   # long flat bar
+        (BOX, (0.022, 0.022, 0.026)),   # tall block
+        (CYLINDER, (0.018, 0.018, 0.032)),  # bottle, wider
+        (CYLINDER, (0.012, 0.012, 0.034)),  # slim tube
+        (BOX, (0.031, 0.016, 0.011)),   # thin brick
+        (SPHERE, (0.017, 0.017, 0.017)),    # small ball
+        (CYLINDER, (0.022, 0.022, 0.021)),  # stout can
+    ]
+)
+
+TESTING_SUCKING_CATALOG = _catalog(
+    [
+        (BOX, (0.027, 0.022, 0.009)),   # flat box, new aspect
+        (BOX, (0.018, 0.018, 0.013)),   # small squat box
+        (CYLINDER, (0.024, 0.024, 0.009)),  # puck, new radius
+        (CYLINDER, (0.016, 0.016, 0.013)),  # small thick puck
+        (BOX, (0.032, 0.028, 0.008)),   # wide plate
+        (BOX, (0.024, 0.014, 0.011)),   # narrow flat box
+        (CYLINDER, (0.028, 0.028, 0.011)),  # extra-wide puck
+    ]
+)

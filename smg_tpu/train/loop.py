@@ -303,7 +303,8 @@ def train_step(
     )(next_obs_number, no_change, sim_ok, episode_succ, episode_iter)
     fresh = jax.vmap(
         lambda k: scene_mod.reset_scene(
-            k, ecfg.is_cluttered, ecfg.is_testing, cfg.reset_settle_steps
+            k, ecfg.is_cluttered, ecfg.is_testing, cfg.reset_settle_steps,
+            catalogs=env.resolve_catalogs(ecfg),
         )
     )(jax.random.split(k_reset, B))
     scenes_next = jax.tree_util.tree_map(

@@ -61,12 +61,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--is_sim", action="store_true", default=True,
                    help="run in simulation (always true: the sim is on-device)")
     p.add_argument("--obj_mesh_dir", default="datasets/training",
-                   help="object set; procedural catalogs stand in for the "
-                        "reference's .obj meshes (its LFS blob is absent)")
-    p.add_argument("--num_obj", type=int, default=10)
+                   help="object set: a dir with enveloping/ + sucking/ "
+                        ".obj subdirs (native mesh-fitter ingest), or the "
+                        "reference's datasets/{training,testing} sentinels "
+                        "-> the matching procedural catalog (its dataset "
+                        "blob is a missing LFS pointer)")
+    p.add_argument("--num_obj", type=int, default=10,
+                   help="accepted for command-line parity; the reference "
+                        "stores but never uses it (robot.py:40 vs "
+                        "robot.py:113-117: counts are always the random "
+                        "0-5 enveloping + 1-5 sucking draw)")
     p.add_argument("--heightmap_resolution", type=float, default=0.002)
     p.add_argument("--cpu", dest="force_cpu", action="store_true",
-                   default=False)
+                   default=False,
+                   help="force the CPU backend (reference --cpu)")
     p.add_argument("--is_cluttered", action="store_true", default=False)
     # ------------- Algorithm options (main.py:438-443) -------------
     p.add_argument("--method", default="reinforcement",
@@ -123,6 +131,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
+    if abs(args.heightmap_resolution - 0.002) > 1e-12:
+        # The 224 x 0.002 m heightmap grid is baked into the renderer,
+        # model and action geometry; fail loudly instead of ignoring.
+        raise SystemExit(
+            "--heightmap_resolution: only the reference default 0.002 is "
+            f"supported (got {args.heightmap_resolution})"
+        )
+    if args.force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     env = EnvConfig(
         is_cluttered=args.is_cluttered,
         is_testing=args.is_testing,
@@ -132,6 +151,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         method=args.method,
         step_limit=args.step,
         segmentation=args.segmentation,
+        obj_mesh_dir=args.obj_mesh_dir,
     )
     model = ModelConfig(
         method=args.method,
