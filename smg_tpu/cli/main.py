@@ -98,6 +98,27 @@ def save_step_imagery(logger: Logger, metrics, iteration: int) -> None:
     logger.save_visualizations(iteration, overlay, "action")
 
 
+@functools.lru_cache(maxsize=1)
+def _rgbd_renderer():
+    from smg_tpu.core import camera as cam
+    from smg_tpu.render import persp
+
+    camera = cam.Camera.overhead()
+    return jax.jit(lambda obj: persp.render_rgbd(obj, camera))
+
+
+def save_step_rgbd(logger: Logger, state, iteration: int) -> None:
+    """Scene-0 raw camera RGB-D frame (the reference saves the sensor's
+    color/depth images every iteration, logger.py:87-92 called at
+    main.py:136-138; here on the --imagery_every cadence)."""
+    obj0 = jax.tree_util.tree_map(lambda x: x[0], state.scenes.objects)
+    color, depth = _rgbd_renderer()(obj0)
+    logger.save_images(
+        iteration, np.asarray(jax.device_get(color)),
+        np.asarray(jax.device_get(depth)),
+    )
+
+
 def main(argv=None) -> None:
     from smg_tpu.utils.cache import enable_persistent_cache
 
@@ -197,18 +218,34 @@ def main(argv=None) -> None:
             trainer=state.trainer.replace(
                 params=new_p, batch_stats=new_s,
                 target_params=jax.tree_util.tree_map(jnp.copy, new_p),
+                target_stats=jax.tree_util.tree_map(jnp.copy, new_s),
             )
         )
         print(f"pretrained trunks loaded from: {cfg.pretrained_trunks}")
 
     if cfg.load_snapshot and cfg.snapshot_file:
-        params = checkpoints.load_params(
-            cfg.snapshot_file, state.trainer.params
-        )
+        # The snapshot carries params + BN running statistics (the
+        # reference's state_dict includes BN buffers, logger.py:121-123);
+        # pre-round-3 snapshots were params-only, so fall back for them.
+        try:
+            loaded = checkpoints.load_params(
+                cfg.snapshot_file,
+                {"params": state.trainer.params,
+                 "batch_stats": state.trainer.batch_stats},
+            )
+            params, stats = loaded["params"], loaded["batch_stats"]
+        except Exception:
+            params = checkpoints.load_params(
+                cfg.snapshot_file, state.trainer.params
+            )
+            stats = state.trainer.batch_stats
+            print("(params-only snapshot: BN statistics from init)")
         state = state.replace(
             trainer=state.trainer.replace(
                 params=params,
+                batch_stats=stats,
                 target_params=jax.tree_util.tree_map(jnp.copy, params),
+                target_stats=jax.tree_util.tree_map(jnp.copy, stats),
             )
         )
         print(f"Pre-trained model snapshot loaded from: {cfg.snapshot_file}")
@@ -252,6 +289,7 @@ def main(argv=None) -> None:
             )
             if cfg.imagery_every and iteration % cfg.imagery_every == 0:
                 save_step_imagery(logger, metrics, iteration)
+                save_step_rgbd(logger, state, iteration)
         succ_rate = float(
             jax.device_get(
                 (
@@ -276,10 +314,15 @@ def main(argv=None) -> None:
 
     if not cfg.env.is_testing:
         ckpt.save(iteration, state.trainer)
-        # Params-only snapshot for --is_testing --load_snapshot
-        # (the reference's logger.save_model state_dict, logger.py:121-123).
+        # Model snapshot for --is_testing --load_snapshot: params + BN
+        # running statistics (the reference's logger.save_model
+        # state_dict includes BN buffers, logger.py:121-123).
         snap = os.path.join(logger.models_directory, "snapshot")
-        checkpoints.save_params(snap, state.trainer.params)
+        checkpoints.save_params(
+            snap,
+            {"params": state.trainer.params,
+             "batch_stats": state.trainer.batch_stats},
+        )
         print(f"snapshot: {snap}")
     logger.close()
     print(timer.report())

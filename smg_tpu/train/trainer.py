@@ -60,6 +60,13 @@ class TrainConfig:
     target_update_freq: int = 10         # main.py:450
     is_ets: bool = False
     scene_chunk: int = 4                 # scenes scored per model call
+    # Eval-mode forward implementation: 'auto' uses the fused Pallas
+    # dense-block path (ops/dense_block_pallas.py) on TPU for the
+    # DenseNet trunk and the Flax/XLA path elsewhere (CPU tests, tiny
+    # trunks, train mode). 'on'/'off' force it. Default off while the
+    # kernel's geometry tuning lands (it is parity-tested but not yet
+    # faster than XLA at the production shapes).
+    fast_eval: str = "off"
 
 
 @struct.dataclass
@@ -67,6 +74,9 @@ class TrainerState:
     params: dict
     batch_stats: dict
     target_params: dict    # DQN target net (reactive: alias of params)
+    target_stats: dict     # target net's BN statistics, synced with it:
+                           # the reference target is a deep copy whose
+                           # buffers freeze between syncs (trainer.py:74-75)
     opt_state: optax.OptState
     iteration: jax.Array   # () int32 global step
 
@@ -115,19 +125,24 @@ class Trainer:
             params=params,
             batch_stats=stats,
             target_params=jax.tree_util.tree_map(jnp.copy, params),
+            target_stats=jax.tree_util.tree_map(jnp.copy, stats),
             opt_state=self.tx.init(params),
             iteration=jnp.asarray(0, jnp.int32),
         )
 
     def maybe_sync_target(self, state: TrainerState) -> TrainerState:
         """Copy online -> target every target_update_freq iterations
-        (main.py:351-353)."""
+        (main.py:351-353). The BN statistics ride along: the reference's
+        target is a deep copy (trainer.py:74-75), so its buffers freeze
+        at sync time instead of tracking the online net's."""
         sync = (state.iteration % self.cfg.target_update_freq) == 0
-        new_target = jax.tree_util.tree_map(
-            lambda t, p: jnp.where(sync, p, t), state.target_params,
-            state.params,
+        pick = lambda t, p: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(sync, b, a), t, p
         )
-        return state.replace(target_params=new_target)
+        return state.replace(
+            target_params=pick(state.target_params, state.params),
+            target_stats=pick(state.target_stats, state.batch_stats),
+        )
 
     # ------------------------------------------------------------------
     # Scoring (inference)
@@ -195,6 +210,12 @@ class Trainer:
         p = {**params, "grasp_trunk": sel(trunk_p), "grasp_head": sel(head_p)}
         s = {**stats, "grasp_trunk": sel(trunk_s), "grasp_head": sel(head_s)}
         if not train:
+            if self._use_fast_eval:
+                from smg_tpu.models import fast_trunk
+
+                return fast_trunk.score_eval(
+                    p, s, scene_in, mask_ins, self.cfg.model.num_out
+                )
             return self.model.apply(
                 {"params": p, "batch_stats": s}, scene_in, mask_ins,
                 STYLE_GRASP, False, method=AffordanceNet.score,
@@ -328,7 +349,8 @@ class Trainer:
     ) -> SceneScores:
         """Batched scoring over scenes, chunked to bound activation memory."""
         params = state.target_params if use_target else state.params
-        fn = partial(self.score_scene, params, state.batch_stats)
+        stats = state.target_stats if use_target else state.batch_stats
+        fn = partial(self.score_scene, params, stats)
         if self._unroll_styles:
             # CPU: plain vmap (scan chunking would run single-threaded).
             return jax.vmap(fn)(scene_depths, masks, valid)
@@ -409,7 +431,7 @@ class Trainer:
                       next_choice.bestgs_g_id[:, 1]),
         )
         future = self._eval_styled(
-            state.target_params, state.batch_stats, next_scene_depths,
+            state.target_params, state.target_stats, next_scene_depths,
             exec_mask, style, rot_idx,
         )
 
@@ -452,6 +474,18 @@ class Trainer:
     @property
     def _unroll_styles(self) -> bool:
         return jax.default_backend() == "cpu"
+
+    @property
+    def _use_fast_eval(self) -> bool:
+        """Pallas fused-trunk eval forward (trace-time backend split, like
+        _unroll_styles: the kernel targets Mosaic/TPU only)."""
+        if self.cfg.fast_eval == "on":
+            return True
+        return (
+            self.cfg.fast_eval == "auto"
+            and self.cfg.model.trunk == "densenet121"
+            and jax.default_backend() == "tpu"
+        )
 
     def _style_chunks(self, arrays: tuple, styles: jax.Array):
         """Sort per-scene arrays by style and reshape to (n_chunks, C, ...).
