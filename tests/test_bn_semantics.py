@@ -23,6 +23,11 @@ from smg_tpu.models.affordance import (
 from smg_tpu.train.trainer import Experience, TrainConfig, Trainer
 
 
+import pytest
+
+# Heavy integration module: excluded from the fast CI profile (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 def _trainer(scene_chunk=2):
     return Trainer(
         TrainConfig(

@@ -26,6 +26,11 @@ from smg_tpu.physics.state import Gripper, Scene, WORKSPACE
 from tests.test_render_perception import make_objects
 
 
+import pytest
+
+# Heavy integration module: excluded from the fast CI profile (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 def _scene(entries):
     return Scene(
         objects=make_objects(entries), gripper=Gripper.home(),

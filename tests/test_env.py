@@ -2,6 +2,7 @@
 physically pick objects out of rendered+segmented scenes."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,7 @@ def choice_for(action, g_obj=0, s_obj=0):
 
 
 class TestGraspPrimitive:
+    @pytest.mark.slow
     def test_envelop_lifts_bar(self):
         """A graspable bar at a known pose: grasp() succeeds and removes it."""
         scene = scene_with(
@@ -57,6 +59,7 @@ class TestGraspPrimitive:
         # Object parked on the shelf, not on the table.
         assert float(sc2.objects.pos[0, 1]) > 0.3
 
+    @pytest.mark.slow
     def test_wrong_opening_fails(self):
         """PE opening far smaller than the object: fingers can't admit it."""
         scene = scene_with(
@@ -102,6 +105,7 @@ class TestSuctionPrimitive:
         sc2, success = prim.suction_first(scene, pos, jnp.asarray(0.0))
         assert float(success) == 0.0
 
+    @pytest.mark.slow
     def test_suction_each_quadrant_angle(self):
         """The pad-per-quadrant selection still lands on the object."""
         for ang in (0.0, jnp.pi / 2, jnp.pi, 3 * jnp.pi / 2):
@@ -115,6 +119,7 @@ class TestSuctionPrimitive:
 
 
 class TestETS:
+    @pytest.mark.slow
     def test_grasp_then_suction_both(self):
         scene = scene_with(
             [
@@ -132,6 +137,7 @@ class TestETS:
         assert float(reward) == 2.5
         assert bool(sc2.objects.removed[0]) and bool(sc2.objects.removed[1])
 
+    @pytest.mark.slow
     def test_grasp_then_suction_partial(self):
         """Grasp fails (bad opening), suction succeeds -> 0.5."""
         scene = scene_with(
@@ -171,6 +177,7 @@ class TestEnvPipeline:
             np.asarray(geom.grasp_position[:2]), [-0.55, -0.08], atol=0.01
         )
 
+    @pytest.mark.slow
     def test_execute_unified_batch(self):
         """Mixed actions across a vmapped batch in ONE compiled program."""
         cfg = env.EnvConfig(is_pe=True, is_oo=False, is_ets=True)
@@ -226,6 +233,7 @@ class TestEnvPipeline:
 
 
 class TestBatchedExecutor:
+    @pytest.mark.slow
     def test_matches_vmapped_execute(self):
         """batched.execute_batched == vmap(env.execute), bit-for-bit
         (interpret-mode Pallas on CPU)."""

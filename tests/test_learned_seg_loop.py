@@ -18,6 +18,9 @@ from smg_tpu.train.loop import LoopConfig, init_loop, train_step
 from smg_tpu.train.trainer import TrainConfig, Trainer
 
 
+# Heavy integration module: excluded from the fast CI profile (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def trained_segmenter():
     """A briefly-trained SlotSegmenter (enough to beat random by a lot on

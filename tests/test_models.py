@@ -140,6 +140,7 @@ class TestPreprocess:
 
 
 class TestDenseNet121:
+    @pytest.mark.slow
     def test_feature_shape(self):
         """DenseNet-121 trunk: 1024-ch stride-32 features (shape parity with
         torchvision `.features`)."""
@@ -151,6 +152,7 @@ class TestDenseNet121:
         out = trunk.apply(variables, x, False)
         assert out.shape == (1, 7, 7, 1024)
 
+    @pytest.mark.slow
     def test_param_count_matches_torchvision(self):
         """Trunk parameter count == torchvision densenet121.features.
 

@@ -27,6 +27,9 @@ from smg_tpu.train.trainer import TrainConfig, Trainer
 N_DEV = 8
 
 
+# Heavy integration module: excluded from the fast CI profile (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 def _tiny_setup():
     env_cfg = EnvConfig(
         is_pe=True, is_oo=True, is_ets=False, method="reinforcement",

@@ -5,6 +5,7 @@ the analytic-case suite SURVEY.md section 4 calls for.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -240,6 +241,7 @@ class TestGripperFK:
 
 
 class TestPallasBatchedStepper:
+    @pytest.mark.slow
     def test_matches_reference_path(self):
         """run_steps_batched (Pallas kernel, interpret on CPU) must be
         bit-equivalent to vmapped physics_step."""

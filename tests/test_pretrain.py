@@ -11,6 +11,11 @@ from smg_tpu.train import pretrain
 from smg_tpu.train.trainer import TrainConfig, Trainer
 
 
+import pytest
+
+# Heavy integration module: excluded from the fast CI profile (pytest -m 'not slow').
+pytestmark = pytest.mark.slow
+
 def _setup():
     cfg = pretrain.PretrainConfig(
         model=ModelConfig(trunk="tiny", input_size=224), lr=1e-3

@@ -45,6 +45,7 @@ class TestLosses:
 
 
 class TestScoring:
+    @pytest.mark.slow
     def test_score_scene_batch_shapes(self):
         tr = tiny_trainer(is_ets=True)
         state = tr.init_state(jax.random.PRNGKey(0))
@@ -65,6 +66,7 @@ class TestScoring:
         assert gs[0, 1] > -100.0
         assert gs[1, 0] == -100.0
 
+    @pytest.mark.slow
     def test_update_reduces_q_error(self):
         """Adam steps on a fixed experience drive Q toward the label."""
         tr = tiny_trainer()
@@ -174,6 +176,7 @@ class TestStyledDispatch:
             np.asarray(v_new), np.asarray(v_naive), rtol=1e-5, atol=1e-6
         )
 
+    @pytest.mark.slow
     def test_update_matches_naive(self):
         from smg_tpu.models.affordance import AffordanceNet
         from smg_tpu.train import losses as loss_mod
@@ -225,6 +228,7 @@ class TestStyledDispatch:
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
             )
 
+    @pytest.mark.slow
     def test_bn_stats_move_only_for_executed_style(self):
         """A uniform style-0 (grasp) batch must update the grasp trunk's BN
         statistics and leave the suction / gs trunks' untouched."""
@@ -280,6 +284,7 @@ class TestLabels:
         # (trainer.py:229-234).
         assert labels.tolist() == [0, 0, 0, 1]
 
+    @pytest.mark.slow
     def test_dqn_future_zero_rules(self):
         """future term zeroed on failure and on table-cleared."""
         tr = tiny_trainer()
@@ -315,6 +320,7 @@ class TestLabels:
 
 
 class TestLoop:
+    @pytest.mark.slow
     @pytest.mark.slow
     def test_one_train_step_runs(self):
         tr = tiny_trainer(is_ets=True)
