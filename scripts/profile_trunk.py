@@ -62,28 +62,31 @@ def main():
     from xprof.convert import raw_to_tool_data as rtd
 
     data, _ = rtd.xspace_to_tool_data([xplane], "framework_op_stats", {})
-    import csv
-    import io
+    import json as _json
 
-    rows = list(csv.DictReader(io.StringIO(
-        data.decode() if isinstance(data, bytes) else data)))
+    table = _json.loads(data.decode() if isinstance(data, bytes) else data)[0]
+    ids = [c["id"] for c in table["cols"]]
+    rows = [
+        dict(zip(ids, [c["v"] if isinstance(c, dict) else c for c in r["c"]]))
+        for r in table["rows"]
+    ]
     rows = [r for r in rows if r.get("host_or_device") == "Device"]
-    rows.sort(key=lambda r: -float(r["total_self_time_in_us"]))
-    tot = sum(float(r["total_self_time_in_us"]) for r in rows)
+    rows.sort(key=lambda r: -float(r["total_self_time"]))
+    tot = sum(float(r["total_self_time"]) for r in rows)
     print(f"device total self time: {tot/1e3:.2f} ms over 3 calls")
     print(f"{'op type':<28} {'self ms':>8} {'%':>6}  occurrences")
     agg = {}
     for r in rows:
         t = r["type"]
         a = agg.setdefault(t, [0.0, 0])
-        a[0] += float(r["total_self_time_in_us"])
+        a[0] += float(r["total_self_time"])
         a[1] += int(r["occurrences"])
     for t, (us, occ) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:18]:
         print(f"{t:<28} {us/1e3:8.2f} {us/tot*100:6.1f}  {occ}")
     print("\ntop individual ops:")
     for r in rows[:15]:
-        print(f"  {float(r['total_self_time_in_us'])/1e3:8.2f} ms  "
-              f"{r['operation']}"[:120])
+        print(f"  {float(r['total_self_time'])/1e3:8.2f} ms  "
+              f"{r['operation']}"[:110])
 
 
 if __name__ == "__main__":

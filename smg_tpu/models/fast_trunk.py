@@ -48,25 +48,50 @@ def _stem(tp: dict, ts: dict, x: jax.Array) -> jax.Array:
     ).astype(jnp.bfloat16)
 
 
-def _dense_layer_xla(p: dict, s: dict, x: jax.Array) -> jax.Array:
-    """One dense layer as two full-lane matmuls + 9 shifted adds.
+def _bn_relu_slice(seg: jax.Array, a: jax.Array, b: jax.Array,
+                   off: int) -> jax.Array:
+    c = seg.shape[-1]
+    return jnp.maximum(
+        seg.astype(jnp.float32) * a[off : off + c] + b[off : off + c], 0.0
+    ).astype(jnp.bfloat16)
+
+
+def _dense_layer_xla(p: dict, s: dict, segs: list, conv2: str) -> jax.Array:
+    """One dense layer over the segmented prefix: grouped matmuls.
 
     The torchvision dense layer (densenet.py DenseLayer; reference
-    models.py) is BN->ReLU->1x1(128)->BN->ReLU->3x3(32). XLA lowers the
-    3x3 conv with N=32 output lanes (25% MXU occupancy); here the nine
-    taps are packed on the matmul N axis (128 -> 288, 75% occupancy) and
-    the conv's spatial gather becomes nine pad-slice adds that XLA fuses
-    into the accumulation. Algebraically identical, different rounding.
+    models.py) is BN->ReLU->1x1(128)->BN->ReLU->3x3(32). The concat
+    prefix never materializes: conv1 runs as one K<=128 matmul per
+    stored segment, accumulated in f32 (the same f32 accumulation a
+    single K=C dot performs internally). The 3x3 either stays an XLA
+    conv (conv2='conv') or packs its nine taps on the matmul N axis
+    (128 -> 288 lanes) with the spatial gather as nine pad-slice adds
+    (conv2='taps'). Algebraically identical, different rounding.
     """
-    B, H, W, C = x.shape
+    B, H, W = segs[0].shape[:3]
     a1, b1 = _bn(p["norm1"], s["norm1"])
-    h = jnp.maximum(x.astype(jnp.float32) * a1 + b1, 0.0).astype(jnp.bfloat16)
+    C = a1.shape[-1]
     w1 = p["conv1"]["kernel"].reshape(C, dbp.BOTTLENECK).astype(jnp.bfloat16)
-    h1 = jnp.dot(
-        h.reshape(-1, C), w1, preferred_element_type=jnp.float32
-    )
+    h1 = None
+    off = 0
+    for seg in segs:
+        c = seg.shape[-1]
+        h = _bn_relu_slice(seg, a1, b1, off)
+        t = jnp.dot(
+            h.reshape(-1, c), w1[off : off + c],
+            preferred_element_type=jnp.float32,
+        )
+        h1 = t if h1 is None else h1 + t
+        off += c
     a2, b2 = _bn(p["norm2"], s["norm2"])
     h2 = jnp.maximum(h1 * a2 + b2, 0.0).astype(jnp.bfloat16)
+    if conv2 == "conv":
+        return jax.lax.conv_general_dilated(
+            h2.reshape(B, H, W, dbp.BOTTLENECK),
+            p["conv2"]["kernel"].astype(jnp.bfloat16),
+            window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     # (3, 3, 128, 32) -> (128, 9*32): tap t = 3*dy + dx at cols [32t, 32t+32)
     w2 = (
         p["conv2"]["kernel"].transpose(2, 0, 1, 3)
@@ -86,27 +111,56 @@ def _dense_layer_xla(p: dict, s: dict, x: jax.Array) -> jax.Array:
     return acc.astype(jnp.bfloat16)
 
 
-def _dense_block_xla(bp: dict, bs: dict, y: jax.Array) -> jax.Array:
+GROUP = 128  # MXU contraction width: completed segments are regrouped to this
+
+
+def _dense_block_xla_segs(bp: dict, bs: dict, segs: list, conv2: str) -> list:
+    """Run a dense block over a segmented feature prefix; returns segments.
+
+    The prefix is kept as a list of completed GROUP-channel tensors plus
+    a <=96-channel pending tail; each layer's 32-channel output folds
+    into the tail with one small concat, so total concat-copy traffic is
+    O(C_final) for the whole block instead of the O(L * C) a rolling
+    full-prefix concat costs — the profiled XLA eval trunk spent 43% of
+    device time in concatenate.
+    """
     names = sorted(bp, key=lambda n: int(n.removeprefix("denselayer")))
+    segs = list(segs)
+    pend_c = segs[-1].shape[-1] % GROUP
     for n in names:
-        y = jnp.concatenate([y, _dense_layer_xla(bp[n], bs[n], y)], axis=-1)
-    return y
+        new = _dense_layer_xla(bp[n], bs[n], segs, conv2)
+        if pend_c == 0:
+            segs.append(new)
+        else:
+            segs[-1] = jnp.concatenate([segs[-1], new], axis=-1)
+        pend_c = (pend_c + dbp.GROWTH) % GROUP
+    return segs
 
 
-def _transition_xla(tp: dict, ts: dict, y: jax.Array) -> jax.Array:
-    """BN -> ReLU -> avgpool2 -> 1x1 (pool commuted before the linear 1x1:
-    exact, and it quarters the matmul rows)."""
+def _transition_xla(tp: dict, ts: dict, segs: list) -> list:
+    """BN -> ReLU -> avgpool2 -> 1x1, per segment with f32 accumulation
+    (pool commuted before the linear 1x1: exact, and it quarters the
+    matmul rows)."""
     a, b = _bn(tp["norm"], ts["norm"])
-    h = jnp.maximum(y.astype(jnp.float32) * a + b, 0.0).astype(jnp.bfloat16)
-    B, H, W, C = h.shape
-    h = h.reshape(B, H // 2, 2, W // 2, 2, C).astype(jnp.float32)
-    h = h.mean(axis=(2, 4)).astype(jnp.bfloat16)
+    C = a.shape[-1]
     k = tp["conv"]["kernel"]
-    out = jnp.dot(
-        h.reshape(-1, C), k.reshape(C, k.shape[3]).astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    return out.astype(jnp.bfloat16).reshape(B, H // 2, W // 2, k.shape[3])
+    kf = k.reshape(C, k.shape[3]).astype(jnp.bfloat16)
+    out = None
+    off = 0
+    for seg in segs:
+        c = seg.shape[-1]
+        h = _bn_relu_slice(seg, a, b, off)
+        B, H, W = h.shape[:3]
+        h = h.reshape(B, H // 2, 2, W // 2, 2, c).astype(jnp.float32)
+        h = h.mean(axis=(2, 4)).astype(jnp.bfloat16)
+        t = jnp.dot(
+            h.reshape(-1, c), kf[off : off + c],
+            preferred_element_type=jnp.float32,
+        )
+        out = t if out is None else out + t
+        off += c
+    out = out.astype(jnp.bfloat16).reshape(B, H // 2, W // 2, k.shape[3])
+    return [out[..., o : o + GROUP] for o in range(0, k.shape[3], GROUP)]
 
 
 def trunk_features_eval(
@@ -121,15 +175,27 @@ def trunk_features_eval(
     'pallas': the fused dense-block kernel (TPU only).
     """
     y = _stem(tp, ts, x)
-    if backend == "xla":
+    if backend.startswith("xla"):
+        conv2 = "conv" if backend == "xla_conv" else "taps"
+        segs = [y]
         for i in range(len(BLOCK_CONFIG)):
-            y = _dense_block_xla(tp[f"denseblock{i+1}"], ts[f"denseblock{i+1}"], y)
+            segs = _dense_block_xla_segs(
+                tp[f"denseblock{i+1}"], ts[f"denseblock{i+1}"], segs, conv2
+            )
             if i < len(BLOCK_CONFIG) - 1:
-                y = _transition_xla(
-                    tp[f"transition{i+1}"], ts[f"transition{i+1}"], y
+                segs = _transition_xla(
+                    tp[f"transition{i+1}"], ts[f"transition{i+1}"], segs
                 )
         a, b = _bn(tp["norm5"], ts["norm5"])
-        return (y.astype(jnp.float32) * a + b).astype(jnp.bfloat16)
+        off, outs = 0, []
+        for seg in segs:
+            c = seg.shape[-1]
+            outs.append(
+                (seg.astype(jnp.float32) * a[off : off + c]
+                 + b[off : off + c]).astype(jnp.bfloat16)
+            )
+            off += c
+        return jnp.concatenate(outs, axis=-1)
     num_features = 64
     for i, L in enumerate(BLOCK_CONFIG):
         bname = f"denseblock{i + 1}"

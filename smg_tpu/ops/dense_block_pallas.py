@@ -55,7 +55,9 @@ BN_EPS = 1e-5
 
 # Perf-bisection probes (WRONG MATH — benchmarking only):
 #   noshift: tap column shifts skipped; notaps: one tap, no shifts/adds;
-#   nosel: append write skipped (layers read zero appends).
+#   nosel: append write skipped (layers read zero appends);
+#   noh1: layer input pinned to the first 128 feature channels (probes
+#   the growing-prefix read); nomm1: first matmul replaced by a slice.
 _PROBE = os.environ.get("SMG_DBP_PROBE", "")
 
 
@@ -228,7 +230,7 @@ def _block_kernel(
     x_hbm, w1_ref, a1_ref, b1_ref, w2_ref, a2_ref, b2_ref,
     wt_ref, at_ref, bt_ref,
     out_ref, xin_ref, feat_ref, sem,
-    *, g: BlockGeom, taps_packed: bool,
+    *, g: BlockGeom, taps_packed: bool, probe: str = "",
 ):
     bi = pl.program_id(0)
     ty = pl.program_id(1)
@@ -290,12 +292,18 @@ def _block_kernel(
             # h2 over band rows [r0-1, r1+1), zero rows beyond the band.
             a_, b_ = max(r0 - 1, 0), min(r1 + 1, Rt)
             n = b_ - a_
-            xs = feat_ref[:, a_:b_, :, :Cp]
+            if probe == "noh1":
+                xs = feat_ref[:, a_:b_, :, :LANE]
+                Cp_eff = LANE
+            else:
+                xs = feat_ref[:, a_:b_, :, :Cp]
+                Cp_eff = Cp
             h1 = jnp.maximum(
-                xs.astype(jnp.float32) * a1 + b1, 0.0
+                xs.astype(jnp.float32) * a1[..., :Cp_eff] + b1[..., :Cp_eff],
+                0.0,
             ).astype(jnp.bfloat16)
             t = jnp.dot(
-                h1.reshape(Bt * n * W, Cp), w1,
+                h1.reshape(Bt * n * W, Cp_eff), w1[:Cp_eff, :],
                 preferred_element_type=jnp.float32,
             )
             h2 = jnp.maximum(
@@ -321,14 +329,14 @@ def _block_kernel(
                     preferred_element_type=jnp.float32,
                 ).astype(jnp.bfloat16).reshape(Bt, cr + 2, W, N_TAPS * GROWTH)
                 acc = jnp.zeros((Bt, cr, W, GROWTH), jnp.float32)
-                taps = [4] if _PROBE == "notaps" else range(N_TAPS)
+                taps = [4] if probe == "notaps" else range(N_TAPS)
                 for tap in taps:
                     dy, dx = divmod(tap, 3)
                     sl = part[
                         :, dy : dy + cr, :,
                         GROWTH * tap : GROWTH * (tap + 1),
                     ]
-                    acc = acc + _col_shift(sl, dx, W)
+                    acc = acc + _col_shift(sl, dx, W, probe)
             else:
                 acc = jnp.zeros((Bt, cr, W, GROWTH), jnp.float32)
                 w2v = w2_ref[l][:]
@@ -340,9 +348,9 @@ def _block_kernel(
                         w2v[:, GROWTH * tap : GROWTH * (tap + 1)],
                         preferred_element_type=jnp.float32,
                     ).reshape(Bt, cr, W, GROWTH)
-                    acc = acc + _col_shift(pt, dx, W)
+                    acc = acc + _col_shift(pt, dx, W, probe)
 
-            if _PROBE == "nosel":
+            if probe == "nosel":
                 continue
             # Append via RMW of the aligned 128-group: place the 32
             # columns with a selection-matrix matmul (no lane relayout).
@@ -395,13 +403,13 @@ def _block_kernel(
             out_ref[:, r0 - h : r1 - h, :, :] = y.astype(jnp.bfloat16)
 
 
-def _col_shift(sl: jax.Array, dx: int, W: int) -> jax.Array:
+def _col_shift(sl: jax.Array, dx: int, W: int, probe: str = "") -> jax.Array:
     """Tap column shift: out col x takes input col x + dx - 1 (zero edges).
 
     pltpu.roll + edge mask: Mosaic lowers pad/concat on the sublane (W)
     dim poorly, but circular lane/sublane rolls are native.
     """
-    if dx == 1 or _PROBE == "noshift":
+    if dx == 1 or probe == "noshift":
         return sl
     # tpu.dynamic_rotate handles 32-bit data only.
     rolled = pltpu.roll(
@@ -423,6 +431,7 @@ def dense_block_apply(
     epilogue_packed: dict,  # pack_transition / pack_final_bn output
     geom: BlockGeom,
     *, taps_packed: bool = True, interpret: bool = False,
+    probe: str = "",
 ) -> jax.Array:
     """Run one dense block + fused epilogue. Returns (B, Ho, Wo, C_out)."""
     g = geom
@@ -442,7 +451,8 @@ def dense_block_apply(
 
     Hto, Wo = g.out_hw
     grid = (Bp // g.B_tile, g.TY)
-    kern = functools.partial(_block_kernel, g=g, taps_packed=taps_packed)
+    kern = functools.partial(_block_kernel, g=g, taps_packed=taps_packed,
+                         probe=probe or _PROBE)
     out = pl.pallas_call(
         kern,
         grid=grid,
