@@ -56,7 +56,8 @@ def _bn_relu_slice(seg: jax.Array, a: jax.Array, b: jax.Array,
     ).astype(jnp.bfloat16)
 
 
-def _dense_layer_xla(p: dict, s: dict, segs: list, conv2: str) -> jax.Array:
+def _dense_layer_xla(p: dict, s: dict, segs: list, conv2: str,
+                     interpret: bool = False) -> jax.Array:
     """One dense layer over the segmented prefix: grouped matmuls.
 
     The torchvision dense layer (densenet.py DenseLayer; reference
@@ -74,16 +75,33 @@ def _dense_layer_xla(p: dict, s: dict, segs: list, conv2: str) -> jax.Array:
     w1 = p["conv1"]["kernel"].reshape(C, dbp.BOTTLENECK).astype(jnp.bfloat16)
     h1 = None
     off = 0
+    multi = len(segs) > 1
     for seg in segs:
         c = seg.shape[-1]
         h = _bn_relu_slice(seg, a1, b1, off)
+        # Partials round to bf16 (halving the per-group dot-output
+        # traffic); each dot still accumulates its K=128 products in f32
+        # on the MXU, and the cross-group sum below runs in f32.
         t = jnp.dot(
             h.reshape(-1, c), w1[off : off + c],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.bfloat16 if multi else jnp.float32,
         )
-        h1 = t if h1 is None else h1 + t
+        h1 = (
+            t.astype(jnp.float32) if h1 is None
+            else h1 + t.astype(jnp.float32)
+        )
         off += c
     a2, b2 = _bn(p["norm2"], s["norm2"])
+    if conv2 == "pk":
+        from smg_tpu.ops import conv2_pallas as c2p
+
+        if c2p.supported(H, W):
+            return c2p.conv2_bn_relu(
+                h1.astype(jnp.bfloat16).reshape(B, H, W, dbp.BOTTLENECK),
+                a2, b2, c2p.pack_w2(p["conv2"]["kernel"]),
+                interpret=interpret,
+            )
+        conv2 = "conv"  # small/unaligned shapes: XLA's 3x3 is fine there
     h2 = jnp.maximum(h1 * a2 + b2, 0.0).astype(jnp.bfloat16)
     if conv2 == "conv":
         return jax.lax.conv_general_dilated(
@@ -92,6 +110,24 @@ def _dense_layer_xla(p: dict, s: dict, segs: list, conv2: str) -> jax.Array:
             window_strides=(1, 1), padding=[(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+    if conv2 == "s2d":
+        # Space-to-depth on the output: compute 4 horizontally adjacent
+        # pixels' 32 channels as one 128-lane conv position. The (3, 6)
+        # kernel K'[dy, dx', :, 32p + co] = w2[dy, dx' - p, :, co]
+        # (zero outside dx' - p in [0, 3)) at stride (1, 4), pad (1, 1),
+        # reproduces out[h, 4g + p] = conv3x3(h2)[h, 4g + p] exactly:
+        # 2x the MACs, but full MXU N-occupancy instead of 32/128.
+        w = p["conv2"]["kernel"].astype(jnp.bfloat16)   # (3, 3, 128, 32)
+        kp = jnp.zeros((3, 6, dbp.BOTTLENECK, 4 * dbp.GROWTH), jnp.bfloat16)
+        for ph in range(4):
+            kp = kp.at[:, ph : ph + 3, :,
+                       dbp.GROWTH * ph : dbp.GROWTH * (ph + 1)].set(w)
+        out = jax.lax.conv_general_dilated(
+            h2.reshape(B, H, W, dbp.BOTTLENECK), kp,
+            window_strides=(1, 4), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out.reshape(B, H, W, dbp.GROWTH)
     # (3, 3, 128, 32) -> (128, 9*32): tap t = 3*dy + dx at cols [32t, 32t+32)
     w2 = (
         p["conv2"]["kernel"].transpose(2, 0, 1, 3)
@@ -114,7 +150,8 @@ def _dense_layer_xla(p: dict, s: dict, segs: list, conv2: str) -> jax.Array:
 GROUP = 128  # MXU contraction width: completed segments are regrouped to this
 
 
-def _dense_block_xla_segs(bp: dict, bs: dict, segs: list, conv2: str) -> list:
+def _dense_block_xla_segs(bp: dict, bs: dict, segs: list, conv2: str,
+                          interpret: bool = False) -> list:
     """Run a dense block over a segmented feature prefix; returns segments.
 
     The prefix is kept as a list of completed GROUP-channel tensors plus
@@ -128,7 +165,7 @@ def _dense_block_xla_segs(bp: dict, bs: dict, segs: list, conv2: str) -> list:
     segs = list(segs)
     pend_c = segs[-1].shape[-1] % GROUP
     for n in names:
-        new = _dense_layer_xla(bp[n], bs[n], segs, conv2)
+        new = _dense_layer_xla(bp[n], bs[n], segs, conv2, interpret)
         if pend_c == 0:
             segs.append(new)
         else:
@@ -151,8 +188,12 @@ def _transition_xla(tp: dict, ts: dict, segs: list) -> list:
         c = seg.shape[-1]
         h = _bn_relu_slice(seg, a, b, off)
         B, H, W = h.shape[:3]
-        h = h.reshape(B, H // 2, 2, W // 2, 2, c).astype(jnp.float32)
-        h = h.mean(axis=(2, 4)).astype(jnp.bfloat16)
+        # dtype=f32 keeps the 2x2 mean's accumulation exact without
+        # materializing an f32 copy of the block output first.
+        h = jnp.mean(
+            h.reshape(B, H // 2, 2, W // 2, 2, c), axis=(2, 4),
+            dtype=jnp.float32,
+        ).astype(jnp.bfloat16)
         t = jnp.dot(
             h.reshape(-1, c), kf[off : off + c],
             preferred_element_type=jnp.float32,
@@ -166,21 +207,25 @@ def _transition_xla(tp: dict, ts: dict, segs: list) -> list:
 def trunk_features_eval(
     tp: dict, ts: dict, x: jax.Array,
     *, interpret: bool = False, taps_packed: bool = True,
-    backend: str = "xla",
+    backend: str = "xla_conv",
 ) -> jax.Array:
     """DenseNet-121 `.features` eval forward: (B, S, S, 3) -> (B, S/32, S/32, 1024).
 
     tp/ts: one trunk's params/batch_stats subtree (densenet.DenseNetTrunk).
-    backend 'xla': packed-taps matmul lowering (works on any backend);
+    backend 'xla_conv' (default: fastest measured on TPU): grouped-prefix
+    blocks with an XLA 3x3 for conv2; 'xla': same blocks with the
+    packed-taps matmul lowering of conv2 (works on any backend);
     'pallas': the fused dense-block kernel (TPU only).
     """
     y = _stem(tp, ts, x)
     if backend.startswith("xla"):
-        conv2 = "conv" if backend == "xla_conv" else "taps"
+        conv2 = {"xla_conv": "conv", "xla_s2d": "s2d",
+                 "xla_pk": "pk"}.get(backend, "taps")
         segs = [y]
         for i in range(len(BLOCK_CONFIG)):
             segs = _dense_block_xla_segs(
-                tp[f"denseblock{i+1}"], ts[f"denseblock{i+1}"], segs, conv2
+                tp[f"denseblock{i+1}"], ts[f"denseblock{i+1}"], segs, conv2,
+                interpret,
             )
             if i < len(BLOCK_CONFIG) - 1:
                 segs = _transition_xla(
@@ -242,7 +287,7 @@ def score_eval(
     params: dict, stats: dict, scene_img: jax.Array, mask_imgs: jax.Array,
     num_out: int,
     *, trunk_key: str = "grasp_trunk", head_key: str = "grasp_head",
-    interpret: bool = False, backend: str = "xla",
+    interpret: bool = False, backend: str = "xla_conv",
 ) -> jax.Array:
     """Eval-mode AffordanceNet.score (affordance.py:132-165): one merged
     trunk call over the scene + masked streams, scene features broadcast
