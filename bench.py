@@ -93,9 +93,13 @@ def bench_model(input_size: int, streams: int = 64):
 
     `streams` object-masked streams against one scene stream — the shape
     of a real scoring call (trainer.score_scene batches all object slots
-    of a scene chunk into one model call).
+    of a scene chunk into one model call). Times the trainer's actual
+    eval path (fast_trunk.score_eval, Trainer._use_fast_eval); FLOPs
+    come from the Flax apply's compiled cost analysis — the math is
+    identical, so one count serves both.
     """
     from smg_tpu.models import affordance as aff
+    from smg_tpu.models import fast_trunk
     from smg_tpu.models.affordance import AffordanceNet, ModelConfig
 
     cfg = ModelConfig(
@@ -106,6 +110,11 @@ def bench_model(input_size: int, streams: int = 64):
     S = input_size
 
     def fwd(scene_img, mask_imgs):
+        return fast_trunk.score_eval(
+            params, stats, scene_img, mask_imgs, cfg.num_out
+        )
+
+    def fwd_flax(scene_img, mask_imgs):
         return model.apply(
             {"params": params, "batch_stats": stats},
             scene_img, mask_imgs, 0, False, method=AffordanceNet.score,
@@ -116,7 +125,7 @@ def bench_model(input_size: int, streams: int = 64):
     scene = jax.random.normal(k1, (1, S, S, 3), jnp.float32)
     masks = jax.random.normal(k2, (1, streams, S, S, 3), jnp.float32)
 
-    compiled = jfwd.lower(scene, masks).compile()
+    compiled = jax.jit(fwd_flax).lower(scene, masks).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]

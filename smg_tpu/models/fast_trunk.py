@@ -204,19 +204,29 @@ def _transition_xla(tp: dict, ts: dict, segs: list) -> list:
     return [out[..., o : o + GROUP] for o in range(0, k.shape[3], GROUP)]
 
 
+def default_backend() -> str:
+    """Trace-time choice: the fused conv2 kernel on TPU, XLA elsewhere."""
+    return "xla_pk" if jax.default_backend() == "tpu" else "xla_conv"
+
+
 def trunk_features_eval(
     tp: dict, ts: dict, x: jax.Array,
     *, interpret: bool = False, taps_packed: bool = True,
-    backend: str = "xla_conv",
+    backend: str | None = None,
 ) -> jax.Array:
     """DenseNet-121 `.features` eval forward: (B, S, S, 3) -> (B, S/32, S/32, 1024).
 
     tp/ts: one trunk's params/batch_stats subtree (densenet.DenseNetTrunk).
-    backend 'xla_conv' (default: fastest measured on TPU): grouped-prefix
-    blocks with an XLA 3x3 for conv2; 'xla': same blocks with the
+    backend None resolves via `default_backend()`: 'xla_pk' (fastest
+    measured on TPU) = grouped-prefix blocks with the fused
+    BN->ReLU->3x3 Pallas conv2 (ops/conv2_pallas.py, XLA-conv fallback
+    on unaligned shapes); 'xla_conv': XLA 3x3 for conv2; 'xla':
     packed-taps matmul lowering of conv2 (works on any backend);
-    'pallas': the fused dense-block kernel (TPU only).
+    'xla_s2d': space-to-depth packed conv2; 'pallas': the fused
+    dense-block kernel (TPU only).
     """
+    if backend is None:
+        backend = default_backend()
     y = _stem(tp, ts, x)
     if backend.startswith("xla"):
         conv2 = {"xla_conv": "conv", "xla_s2d": "s2d",
@@ -287,7 +297,7 @@ def score_eval(
     params: dict, stats: dict, scene_img: jax.Array, mask_imgs: jax.Array,
     num_out: int,
     *, trunk_key: str = "grasp_trunk", head_key: str = "grasp_head",
-    interpret: bool = False, backend: str = "xla_conv",
+    interpret: bool = False, backend: str | None = None,
 ) -> jax.Array:
     """Eval-mode AffordanceNet.score (affordance.py:132-165): one merged
     trunk call over the scene + masked streams, scene features broadcast

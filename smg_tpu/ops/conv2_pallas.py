@@ -143,11 +143,12 @@ def conv2_bn_relu(
     else:
         # halo[s, t, 0] = raw h1 row above band t; halo[s, t, 1] = row
         # below. Image-edge bands get zeros (masked to h2 = 0 in-kernel).
+        # Static slices of the band-reshaped view (strided indexing would
+        # lower to gather, ~1.5 ms/call profiled at 640).
+        r = h1b.reshape(B, TY, Ht, W, LANE)
         zr = jnp.zeros((B, 1, W, LANE), jnp.bfloat16)
-        tops = jnp.concatenate([zr, h1b[:, Ht - 1 :: Ht, :, :][:, : TY - 1]],
-                               axis=1)
-        bots = jnp.concatenate([h1b[:, Ht::Ht, :, :][:, : TY - 1], zr],
-                               axis=1)
+        tops = jnp.concatenate([zr, r[:, : TY - 1, Ht - 1]], axis=1)
+        bots = jnp.concatenate([r[:, 1:, 0], zr], axis=1)
         halo = jnp.stack([tops, bots], axis=2)      # (B, TY, 2, W, 128)
     return pl.pallas_call(
         kern,
