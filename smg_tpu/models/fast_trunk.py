@@ -31,16 +31,25 @@ def _bn(norm_p, norm_s):
     return dbp._bn_affine(norm_p, norm_s)
 
 
-def _stem(tp: dict, ts: dict, x: jax.Array) -> jax.Array:
+def _stem(tp: dict, ts: dict, x: jax.Array, conv2: str = "taps",
+          interpret: bool = False) -> jax.Array:
     """conv0 (7x7 s2) -> norm0 -> relu -> maxpool 3x3 s2 (densenet.py:100-110)."""
     k0 = tp["conv0"]["kernel"]                       # (7, 7, 3, 64)
     kg = k0.sum(axis=2, keepdims=True).astype(jnp.bfloat16)
+    a0, b0 = _bn(tp["norm0"], ts["norm0"])
+    if conv2 == "pk":
+        from smg_tpu.ops import stem_pool_pallas as spp
+
+        H, W = x.shape[1] // 4, x.shape[2] // 4
+        if x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0 \
+                and spp.supported(H, W):
+            yq = spp.quad_conv0(x[..., :1].astype(jnp.bfloat16), kg)
+            return spp.bn_relu_maxpool(yq, a0, b0, interpret=interpret)
     y = jax.lax.conv_general_dilated(
         x[..., :1].astype(jnp.bfloat16), kg,
         window_strides=(2, 2), padding=[(3, 3), (3, 3)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    a0, b0 = _bn(tp["norm0"], ts["norm0"])
     y = jnp.maximum(y.astype(jnp.float32) * a0 + b0, 0.0).astype(jnp.bfloat16)
     return jax.lax.reduce_window(
         y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
@@ -174,14 +183,32 @@ def _dense_block_xla_segs(bp: dict, bs: dict, segs: list, conv2: str,
     return segs
 
 
-def _transition_xla(tp: dict, ts: dict, segs: list) -> list:
+def _transition_xla(tp: dict, ts: dict, segs: list, conv2: str = "taps",
+                    interpret: bool = False) -> list:
     """BN -> ReLU -> avgpool2 -> 1x1, per segment with f32 accumulation
     (pool commuted before the linear 1x1: exact, and it quarters the
-    matmul rows)."""
+    matmul rows). On the pk backend the whole transition runs as one
+    fused Pallas kernel (ops/transition_pallas.py) when the shape
+    allows."""
     a, b = _bn(tp["norm"], ts["norm"])
     C = a.shape[-1]
     k = tp["conv"]["kernel"]
     kf = k.reshape(C, k.shape[3]).astype(jnp.bfloat16)
+    if (
+        conv2 == "pk"
+        and all(s.shape[-1] == GROUP for s in segs)
+    ):
+        from smg_tpu.ops import transition_pallas as trp
+
+        B, H, W = segs[0].shape[:3]
+        if trp.supported(len(segs), H, W, k.shape[3]):
+            out = trp.transition(
+                tuple(segs), a, b, kf, interpret=interpret
+            )
+            return [
+                out[..., o : o + GROUP]
+                for o in range(0, k.shape[3], GROUP)
+            ]
     out = None
     off = 0
     for seg in segs:
@@ -227,10 +254,10 @@ def trunk_features_eval(
     """
     if backend is None:
         backend = default_backend()
-    y = _stem(tp, ts, x)
+    conv2 = {"xla_conv": "conv", "xla_s2d": "s2d",
+             "xla_pk": "pk"}.get(backend, "taps")
+    y = _stem(tp, ts, x, conv2, interpret)
     if backend.startswith("xla"):
-        conv2 = {"xla_conv": "conv", "xla_s2d": "s2d",
-                 "xla_pk": "pk"}.get(backend, "taps")
         segs = [y]
         for i in range(len(BLOCK_CONFIG)):
             segs = _dense_block_xla_segs(
@@ -239,7 +266,8 @@ def trunk_features_eval(
             )
             if i < len(BLOCK_CONFIG) - 1:
                 segs = _transition_xla(
-                    tp[f"transition{i+1}"], ts[f"transition{i+1}"], segs
+                    tp[f"transition{i+1}"], ts[f"transition{i+1}"], segs,
+                    conv2, interpret,
                 )
         a, b = _bn(tp["norm5"], ts["norm5"])
         off, outs = 0, []

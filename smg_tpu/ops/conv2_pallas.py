@@ -53,16 +53,23 @@ def _col_shift(sl: jax.Array, dx: int, W: int) -> jax.Array:
 
 
 def _kernel(cur_ref, halo_ref, a_ref, b_ref, w2_ref, out_ref,
-            *, Ht: int, W: int, TY: int, chunk: int):
+            *, Ht: int, W: int, TY: int, chunk: int, Wi: int):
     ty = pl.program_id(1)
     a = a_ref[:].reshape(1, 1, 1, LANE)
     b = b_ref[:].reshape(1, 1, 1, LANE)
     w2 = w2_ref[:]
+    colmask = (
+        None if Wi == W
+        else jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2) < Wi
+    )
 
     def h2_rows(x):
-        return jnp.maximum(x.astype(jnp.float32) * a + b, 0.0).astype(
+        h = jnp.maximum(x.astype(jnp.float32) * a + b, 0.0).astype(
             jnp.bfloat16
         )
+        # Width-padded images: h2 in the pad columns must be zero (the
+        # raw zeros turn into relu(b) != 0 under the BN affine).
+        return h if colmask is None else jnp.where(colmask, h, 0)
 
     zrow = jnp.zeros((1, 1, W, LANE), jnp.bfloat16)
     # Halo rows ride in a tiny side input (2 rows per band, gathered by
@@ -80,12 +87,17 @@ def _kernel(cur_ref, halo_ref, a_ref, b_ref, w2_ref, out_ref,
     for r0 in range(0, Ht, chunk):
         r1 = min(r0 + chunk, Ht)
         cr = r1 - r0
-        pieces = [
-            top if r0 == 0 else h2_rows(cur_ref[:, r0 - 1 : r0, :, :]),
-            h2_rows(cur_ref[:, r0:r1, :, :]),
-            bot if r1 == Ht else h2_rows(cur_ref[:, r1 : r1 + 1, :, :]),
-        ]
-        h2f = jnp.concatenate(pieces, axis=1)      # (1, cr + 2, W, 128)
+        if 0 < r0 and r1 < Ht:
+            # Interior chunk: one contiguous BN+ReLU over rows
+            # [r0-1, r1+1) — no pieces, no sublane concat.
+            h2f = h2_rows(cur_ref[:, r0 - 1 : r1 + 1, :, :])
+        else:
+            pieces = [
+                top if r0 == 0 else h2_rows(cur_ref[:, r0 - 1 : r0, :, :]),
+                h2_rows(cur_ref[:, r0:r1, :, :]),
+                bot if r1 == Ht else h2_rows(cur_ref[:, r1 : r1 + 1, :, :]),
+            ]
+            h2f = jnp.concatenate(pieces, axis=1)  # (1, cr + 2, W, 128)
         part = jnp.dot(
             h2f.reshape((cr + 2) * W, LANE), w2,
             preferred_element_type=jnp.float32,
@@ -109,8 +121,8 @@ def pack_w2(kernel: jax.Array) -> jax.Array:
 
 
 def supported(H: int, W: int) -> bool:
-    """Shapes the kernel handles: sublane-aligned W, band-splittable H."""
-    return W % 8 == 0 and _pick_ty(H, W) is not None
+    """Shapes the kernel handles (unaligned W is zero-padded + masked)."""
+    return _pick_ty(H, -(-W // 8) * 8) is not None
 
 
 def _pick_ty(H: int, W: int) -> int | None:
@@ -125,19 +137,27 @@ def _pick_ty(H: int, W: int) -> int | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "force_ty"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "force_ty", "force_chunk")
+)
 def conv2_bn_relu(
     h1: jax.Array,      # (B, H, W, 128) bf16 (pre-BN bottleneck output)
     a: jax.Array,       # (128,) f32 eval-BN scale
     b: jax.Array,       # (128,) f32 eval-BN shift
     w2p: jax.Array,     # (128, 288) packed conv2 weights
     *, interpret: bool = False, force_ty: int | None = None,
+    force_chunk: int | None = None,
 ) -> jax.Array:
-    B, H, W, _ = h1.shape
+    B, H, Wi, _ = h1.shape
+    W = -(-Wi // 8) * 8  # sublane-aligned working width (zero columns)
     TY = force_ty or _pick_ty(H, W)
     Ht = H // TY
-    kern = functools.partial(_kernel, Ht=Ht, W=W, TY=TY, chunk=min(8, Ht))
+    kern = functools.partial(
+        _kernel, Ht=Ht, W=W, TY=TY, chunk=min(force_chunk or 8, Ht), Wi=Wi
+    )
     h1b = h1.astype(jnp.bfloat16)
+    if W != Wi:
+        h1b = jnp.pad(h1b, ((0, 0), (0, 0), (0, W - Wi), (0, 0)))
     if TY == 1:
         halo = jnp.zeros((B, 1, 2, W, LANE), jnp.bfloat16)
     else:
@@ -150,7 +170,7 @@ def conv2_bn_relu(
         tops = jnp.concatenate([zr, r[:, : TY - 1, Ht - 1]], axis=1)
         bots = jnp.concatenate([r[:, 1:, 0], zr], axis=1)
         halo = jnp.stack([tops, bots], axis=2)      # (B, TY, 2, W, 128)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(B, TY),
         in_specs=[
@@ -173,3 +193,4 @@ def conv2_bn_relu(
         out_shape=jax.ShapeDtypeStruct((B, H, W, GROWTH), jnp.bfloat16),
         interpret=interpret,
     )(h1b, halo, a.astype(jnp.float32), b.astype(jnp.float32), w2p)
+    return out if W == Wi else out[:, :, :Wi]
