@@ -159,6 +159,81 @@ def _dense_layer_xla(p: dict, s: dict, segs: list, conv2: str,
 GROUP = 128  # MXU contraction width: completed segments are regrouped to this
 
 
+def _dense_bottleneck(p: dict, s: dict, pieces: list, pend_n: int):
+    """BN -> ReLU -> 1x1(128) over the grouped prefix: one K<=128 dot
+    per 128-channel group, f32-accumulated. The last piece may be a
+    zero-padded group buffer with `pend_n` valid lanes (pend_n = 0:
+    fully valid): its BN affine and w1 rows are zero-padded, so the
+    invalid lanes pass relu(0*0+0) = 0 through zero weights — exact."""
+    a1, b1 = _bn(p["norm1"], s["norm1"])
+    C = a1.shape[-1]
+    w1 = p["conv1"]["kernel"].reshape(C, dbp.BOTTLENECK).astype(jnp.bfloat16)
+    h1 = None
+    off = 0
+    multi = len(pieces) > 1
+    for i, seg in enumerate(pieces):
+        c = seg.shape[-1]
+        valid = pend_n if (pend_n and i == len(pieces) - 1) else c
+        a = a1[off : off + valid]
+        b = b1[off : off + valid]
+        w = w1[off : off + valid]
+        if valid < c:
+            a = jnp.pad(a, (0, c - valid))
+            b = jnp.pad(b, (0, c - valid))
+            w = jnp.pad(w, ((0, c - valid), (0, 0)))
+        h = jnp.maximum(
+            seg.astype(jnp.float32) * a + b, 0.0
+        ).astype(jnp.bfloat16)
+        # bf16 partials halve the per-group dot-output traffic; each
+        # dot still accumulates its K=128 products in f32 on the MXU,
+        # and the cross-group sum below runs in f32.
+        t = jnp.dot(
+            h.reshape(-1, c), w,
+            preferred_element_type=jnp.bfloat16 if multi else jnp.float32,
+        )
+        h1 = (
+            t.astype(jnp.float32) if h1 is None
+            else h1 + t.astype(jnp.float32)
+        )
+        off += valid
+    return h1
+
+
+def _dense_block_pk_merge(bp: dict, bs: dict, segs: list, names: list,
+                          interpret: bool) -> list:
+    """Dense block via the merge conv2 kernel: each layer's 32 channels
+    land directly in the 128-lane pending group buffer in-kernel, so the
+    pending concat never materializes in XLA (4.3 ms/call at 640)."""
+    from smg_tpu.ops import conv2_pallas as c2p
+
+    segs = list(segs)
+    B, H, W = segs[0].shape[:3]
+    pend_n = segs[-1].shape[-1] % GROUP
+    if pend_n:
+        tail = segs.pop()
+        pend = jnp.pad(tail, ((0, 0),) * 3 + ((0, GROUP - pend_n),))
+    else:
+        pend = None
+    for n in names:
+        p, s = bp[n], bs[n]
+        pieces = segs + ([pend] if pend is not None else [])
+        h1 = _dense_bottleneck(p, s, pieces, pend_n)
+        a2, b2 = _bn(p["norm2"], s["norm2"])
+        out = c2p.conv2_bn_relu_merge(
+            h1.astype(jnp.bfloat16).reshape(B, H, W, dbp.BOTTLENECK),
+            pend, a2, b2, c2p.pack_w2(p["conv2"]["kernel"]), pend_n,
+            interpret=interpret,
+        )
+        pend_n += dbp.GROWTH
+        if pend_n == GROUP:
+            segs.append(out)
+            pend, pend_n = None, 0
+        else:
+            pend = out
+    assert pend is None, "block channel count must end GROUP-aligned"
+    return segs
+
+
 def _dense_block_xla_segs(bp: dict, bs: dict, segs: list, conv2: str,
                           interpret: bool = False) -> list:
     """Run a dense block over a segmented feature prefix; returns segments.
@@ -171,6 +246,12 @@ def _dense_block_xla_segs(bp: dict, bs: dict, segs: list, conv2: str,
     device time in concatenate.
     """
     names = sorted(bp, key=lambda n: int(n.removeprefix("denselayer")))
+    if conv2 == "pk":
+        from smg_tpu.ops import conv2_pallas as c2p
+
+        H, W = segs[0].shape[1:3]
+        if c2p.merge_supported(H, W):
+            return _dense_block_pk_merge(bp, bs, segs, names, interpret)
     segs = list(segs)
     pend_c = segs[-1].shape[-1] % GROUP
     for n in names:

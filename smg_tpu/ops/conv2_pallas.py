@@ -52,8 +52,16 @@ def _col_shift(sl: jax.Array, dx: int, W: int) -> jax.Array:
     return jnp.where(mask, rolled, 0.0)
 
 
-def _kernel(cur_ref, halo_ref, a_ref, b_ref, w2_ref, out_ref,
-            *, Ht: int, W: int, TY: int, chunk: int, Wi: int):
+def _kernel(cur_ref, halo_ref, a_ref, b_ref, w2_ref, *rest,
+            Ht: int, W: int, TY: int, chunk: int, Wi: int,
+            merge_off: int | None = None, has_pend: bool = False):
+    # rest = ([pend_ref,] out_ref): with merge_off set, the layer's 32
+    # output channels land at lanes [merge_off, merge_off + 32) of a
+    # 128-lane group buffer (untouched lanes copied from pend_ref, or
+    # zero), replacing the XLA-side pending concat (4.3 ms/call
+    # profiled at 640).
+    pend_ref = rest[0] if has_pend else None
+    out_ref = rest[-1]
     ty = pl.program_id(1)
     a = a_ref[:].reshape(1, 1, 1, LANE)
     b = b_ref[:].reshape(1, 1, 1, LANE)
@@ -107,7 +115,26 @@ def _kernel(cur_ref, halo_ref, a_ref, b_ref, w2_ref, out_ref,
             dy, dx = divmod(tap, 3)
             sl = part[:, dy : dy + cr, :, GROWTH * tap : GROWTH * (tap + 1)]
             acc = acc + _col_shift(sl, dx, W)
-        out_ref[:, r0:r1, :, :] = acc.astype(jnp.bfloat16)
+        if merge_off is None:
+            out_ref[:, r0:r1, :, :] = acc.astype(jnp.bfloat16)
+            continue
+        # Place the 32 channels at the group offset with a one-hot
+        # selection matmul (no lane relayout), then fill the other
+        # lanes from the pending buffer (zeros when starting a group).
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 0)
+            + merge_off
+        ).astype(jnp.bfloat16)
+        placed = jnp.dot(
+            acc.astype(jnp.bfloat16).reshape(cr * W, GROWTH), sel,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16).reshape(1, cr, W, LANE)
+        if has_pend:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANE), 3)
+            keep = (lane < merge_off) | (lane >= merge_off + GROWTH)
+            placed = jnp.where(keep, pend_ref[:, r0:r1, :, :], placed)
+        out_ref[:, r0:r1, :, :] = placed
 
 
 def pack_w2(kernel: jax.Array) -> jax.Array:
@@ -137,6 +164,92 @@ def _pick_ty(H: int, W: int) -> int | None:
     return None
 
 
+def _build_halo(h1b: jax.Array, B: int, TY: int, Ht: int,
+                W: int) -> jax.Array:
+    """(B, TY, 2, W, 128): raw h1 rows above/below each band (zeros at
+    image edges). Static slices of the band-reshaped view (strided
+    indexing would lower to gather, ~1.5 ms/call profiled at 640)."""
+    if TY == 1:
+        return jnp.zeros((B, 1, 2, W, LANE), jnp.bfloat16)
+    r = h1b.reshape(B, TY, Ht, W, LANE)
+    zr = jnp.zeros((B, 1, W, LANE), jnp.bfloat16)
+    tops = jnp.concatenate([zr, r[:, : TY - 1, Ht - 1]], axis=1)
+    bots = jnp.concatenate([r[:, 1:, 0], zr], axis=1)
+    return jnp.stack([tops, bots], axis=2)
+
+
+def merge_supported(H: int, W: int) -> bool:
+    return W % 8 == 0 and _pick_ty_merge(H, W) is not None
+
+
+def _pick_ty_merge(H: int, W: int) -> int | None:
+    # The merge variant's blocks are 3x bigger (in + pend + out at 128
+    # lanes each); keep 2x their sum + ~3.5 MB of chunk temps inside
+    # the 16 MB VMEM.
+    for ty in (1, 2, 4, 8, 16, 32):
+        if H % ty:
+            continue
+        if (H // ty) * W * 1536 <= 8_000_000:
+            return ty
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pend_n", "interpret", "force_ty")
+)
+def conv2_bn_relu_merge(
+    h1: jax.Array,           # (B, H, W, 128) bf16 pre-BN bottleneck output
+    pend: jax.Array | None,  # (B, H, W, 128) group buffer, lanes
+                             # [0, pend_n) valid, zeros beyond; None
+                             # starts a fresh group at lane 0
+    a: jax.Array,            # (128,) f32 eval-BN scale
+    b: jax.Array,            # (128,) f32 eval-BN shift
+    w2p: jax.Array,          # (128, 288) packed conv2 weights
+    pend_n: int,
+    *, interpret: bool = False, force_ty: int | None = None,
+) -> jax.Array:
+    """conv2_bn_relu that lands its 32 channels at lanes
+    [pend_n, pend_n + 32) of the 128-lane group buffer in one pass —
+    the XLA-side pending concat never materializes."""
+    B, H, W, _ = h1.shape
+    if W % 8:
+        raise ValueError("merge variant needs sublane-aligned width")
+    TY = force_ty or _pick_ty_merge(H, W)
+    Ht = H // TY
+    kern = functools.partial(
+        _kernel, Ht=Ht, W=W, TY=TY, chunk=min(8, Ht), Wi=W,
+        merge_off=pend_n, has_pend=pend is not None,
+    )
+    h1b = h1.astype(jnp.bfloat16)
+    halo = _build_halo(h1b, B, TY, Ht, W)
+    band_spec = pl.BlockSpec(
+        (1, Ht, W, LANE), lambda s, t: (s, t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ins = [h1b, halo, a.astype(jnp.float32), b.astype(jnp.float32), w2p]
+    in_specs = [
+        band_spec,
+        pl.BlockSpec(
+            (1, 1, 2, W, LANE), lambda s, t: (s, t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if pend is not None:
+        ins.append(pend.astype(jnp.bfloat16))
+        in_specs.append(band_spec)
+    return pl.pallas_call(
+        kern,
+        grid=(B, TY),
+        in_specs=in_specs,
+        out_specs=band_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, LANE), jnp.bfloat16),
+        interpret=interpret,
+    )(*ins)
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "force_ty", "force_chunk")
 )
@@ -158,18 +271,7 @@ def conv2_bn_relu(
     h1b = h1.astype(jnp.bfloat16)
     if W != Wi:
         h1b = jnp.pad(h1b, ((0, 0), (0, 0), (0, W - Wi), (0, 0)))
-    if TY == 1:
-        halo = jnp.zeros((B, 1, 2, W, LANE), jnp.bfloat16)
-    else:
-        # halo[s, t, 0] = raw h1 row above band t; halo[s, t, 1] = row
-        # below. Image-edge bands get zeros (masked to h2 = 0 in-kernel).
-        # Static slices of the band-reshaped view (strided indexing would
-        # lower to gather, ~1.5 ms/call profiled at 640).
-        r = h1b.reshape(B, TY, Ht, W, LANE)
-        zr = jnp.zeros((B, 1, W, LANE), jnp.bfloat16)
-        tops = jnp.concatenate([zr, r[:, : TY - 1, Ht - 1]], axis=1)
-        bots = jnp.concatenate([r[:, 1:, 0], zr], axis=1)
-        halo = jnp.stack([tops, bots], axis=2)      # (B, TY, 2, W, 128)
+    halo = _build_halo(h1b, B, TY, Ht, W)
     out = pl.pallas_call(
         kern,
         grid=(B, TY),

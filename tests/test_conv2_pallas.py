@@ -151,3 +151,31 @@ def test_stem_quad_pool_kernel(ty):
     got = spp.bn_relu_maxpool(yq, a, b, interpret=True, force_ty=ty)
     assert got.shape == ref.shape
     _check(got, ref)
+
+
+@pytest.mark.parametrize("pend_n,has_pend,ty", [
+    (0, False, 1),      # fresh group: lanes 32: stay zero
+    (32, True, 1),      # mid-group landing
+    (96, True, 2),      # group completion, banded
+])
+def test_merge_kernel(pend_n, has_pend, ty):
+    """conv2_bn_relu_merge == conv output placed at [pend_n, pend_n+32)
+    with the other lanes carried from the pending buffer."""
+    h1, a, b, w, ref = _case(jax.random.PRNGKey(11 + pend_n), 2, 16, 16)
+    pend = None
+    want = jnp.zeros(ref.shape[:3] + (128,), jnp.float32)
+    if has_pend:
+        pend = jax.random.normal(
+            jax.random.PRNGKey(5), ref.shape[:3] + (128,), jnp.bfloat16
+        )
+        pend = pend.at[..., pend_n:].set(0)
+        want = pend.astype(jnp.float32)
+    want = want.at[..., pend_n : pend_n + 32].set(
+        ref.astype(jnp.float32)
+    )
+    got = c2p.conv2_bn_relu_merge(
+        h1.astype(jnp.bfloat16), pend, a, b, c2p.pack_w2(w), pend_n,
+        interpret=True, force_ty=ty,
+    )
+    assert got.shape == want.shape
+    _check(got, want)
