@@ -40,7 +40,7 @@ def bench(batch_size: int, n_calls: int = 5):
         TrainConfig(
             model=ModelConfig(method="reinforcement", trunk="densenet121",
                               input_size=224),
-            method="reinforcement", scene_chunk=min(batch_size, 32),
+            method="reinforcement", scene_chunk=min(batch_size, 8),
         )
     )
     t0 = time.perf_counter()
@@ -64,7 +64,7 @@ def main():
         try:
             sps, dt, comp = bench(b)
         except Exception as e:  # HBM OOM at the top end is a result, not a bug
-            print(f"batch {b:4d}: FAILED ({type(e).__name__}: {str(e)[:120]})")
+            print(f"batch {b:4d}: FAILED ({type(e).__name__}: {str(e)[:400]})")
             continue
         print(f"batch {b:4d}: {sps:8.1f} scenes/s  {dt * 1e3:8.1f} ms/step  "
               f"(compile+2 warmup {comp:.0f}s)")

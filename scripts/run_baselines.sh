@@ -11,6 +11,12 @@ TRAIN_EP="${2:-800}"
 TEST_EP="${3:-300}"
 OUT="${4:-logs/baselines}"
 COMMON="--batch_size $BATCH --imagery_every 0 --trunk densenet121 --input_size 224"
+# PRETRAINED=<ckpt dir>: warm-start every training run's trunks from a
+# cli.pretrain_trunks checkpoint (the reference trains from ImageNet
+# weights, models.py:22,308; this is the self-supervised substitute).
+if [ -n "${PRETRAINED:-}" ]; then
+  COMMON="$COMMON --pretrained_trunks $PRETRAINED"
+fi
 
 declare -a NAMES=(
   "es_reactive_lc"
