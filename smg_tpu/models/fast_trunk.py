@@ -37,7 +37,7 @@ def _stem(tp: dict, ts: dict, x: jax.Array, conv2: str = "taps",
     k0 = tp["conv0"]["kernel"]                       # (7, 7, 3, 64)
     kg = k0.sum(axis=2, keepdims=True).astype(jnp.bfloat16)
     a0, b0 = _bn(tp["norm0"], ts["norm0"])
-    if conv2 == "pk":
+    if conv2 in ("pk", "fl"):
         from smg_tpu.ops import stem_pool_pallas as spp
 
         H, W = x.shape[1] // 4, x.shape[2] // 4
@@ -246,6 +246,16 @@ def _dense_block_xla_segs(bp: dict, bs: dict, segs: list, conv2: str,
     device time in concatenate.
     """
     names = sorted(bp, key=lambda n: int(n.removeprefix("denselayer")))
+    if conv2 == "fl":
+        from smg_tpu.ops import dense_layer_pallas as dlp
+
+        H, W = segs[0].shape[1:3]
+        C_max = sum(s.shape[-1] for s in segs) + dbp.GROWTH * (len(names) - 1)
+        if dlp.supported(H, W, -(-C_max // GROUP)):
+            return dlp.dense_block_fused(
+                bp, bs, list(segs), names, interpret=interpret
+            )
+        conv2 = "pk"
     if conv2 == "pk":
         from smg_tpu.ops import conv2_pallas as c2p
 
@@ -276,7 +286,7 @@ def _transition_xla(tp: dict, ts: dict, segs: list, conv2: str = "taps",
     k = tp["conv"]["kernel"]
     kf = k.reshape(C, k.shape[3]).astype(jnp.bfloat16)
     if (
-        conv2 == "pk"
+        conv2 in ("pk", "fl")
         and all(s.shape[-1] == GROUP for s in segs)
     ):
         from smg_tpu.ops import transition_pallas as trp
@@ -328,7 +338,9 @@ def trunk_features_eval(
     backend None resolves via `default_backend()`: 'xla_pk' (fastest
     measured on TPU) = grouped-prefix blocks with the fused
     BN->ReLU->3x3 Pallas conv2 (ops/conv2_pallas.py, XLA-conv fallback
-    on unaligned shapes); 'xla_conv': XLA 3x3 for conv2; 'xla':
+    on unaligned shapes); 'xla_fl': whole dense layers fused in one
+    Pallas kernel each (ops/dense_layer_pallas.py — bottleneck dots in
+    VMEM, h1 never touches HBM); 'xla_conv': XLA 3x3 for conv2; 'xla':
     packed-taps matmul lowering of conv2 (works on any backend);
     'xla_s2d': space-to-depth packed conv2; 'pallas': the fused
     dense-block kernel (TPU only).
@@ -336,7 +348,7 @@ def trunk_features_eval(
     if backend is None:
         backend = default_backend()
     conv2 = {"xla_conv": "conv", "xla_s2d": "s2d",
-             "xla_pk": "pk"}.get(backend, "taps")
+             "xla_pk": "pk", "xla_fl": "fl"}.get(backend, "taps")
     y = _stem(tp, ts, x, conv2, interpret)
     if backend.startswith("xla"):
         segs = [y]

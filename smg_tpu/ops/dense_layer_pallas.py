@@ -1,0 +1,493 @@
+"""Fully-fused DenseNet dense layer: BN->ReLU->1x1(128) over the grouped
+prefix, then BN->ReLU->3x3(32) merged into the pending group buffer — one
+Pallas kernel per layer.
+
+The torchvision dense layer (reference code/models.py DenseLayer;
+smg_tpu/models/densenet.py) is norm1->relu->conv1(1x1,128)->norm2->relu->
+conv2(3x3,32). The grouped-prefix fast trunk (models/fast_trunk.py) ran
+the bottleneck as XLA dots (profiled 7.3 ms/call at the 640 parity
+shape) and handed the 128-channel h1 to the conv2 Pallas kernel through
+HBM (plus ~1 ms of f32->bf16 conversion). This kernel computes h1 in a
+VMEM scratch band and consumes it in place: per trunk call HBM sees the
+prefix groups once (bf16), and the 128-lane output group buffer once —
+h1 never materializes.
+
+Structure per grid cell (one stream x one row band):
+1. bottleneck: for each 128-channel prefix group g, h_g = relu(x_g *
+   a1_g + b1_g) (VPU), h1 += h_g @ w1_g (MXU, f32 accumulation); the
+   band's h1 rows plus one halo row above/below land in a bf16 scratch.
+2. conv2: the conv2_pallas packed-taps scheme on the scratch — one
+   (rows, 128) @ (128, 288) MXU call per row chunk, nine shifted
+   slice-accumulations, and the 32 output channels placed at lanes
+   [pend_n, pend_n + 32) of the group buffer (one-hot selection matmul,
+   untouched lanes carried from the pending piece).
+
+Validity padding: the pending prefix tail's invalid lanes hold zeros and
+the wrapper zero-pads their BN affine and w1 rows, so they contribute
+relu(0*0+0) = 0 through zero weights — exact. Width padding (e.g. the
+20-wide 640-input block 4, or 224's 28/14/7-wide blocks) zeroes h2 in
+the pad columns, reproducing the conv's zero padding; group buffers stay
+width-padded for the whole block and are sliced back at block exit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smg_tpu.ops.conv2_pallas import _col_shift, pack_w2  # noqa: F401
+
+LANE = 128
+GROWTH = 32
+N_TAPS = 9
+
+
+def _kernel(*refs, G: int, Ht: int, W: int, TY: int, chunk: int, Wi: int,
+            merge_off: int, has_pend: bool):
+    g_refs = refs[:G]
+    halo_ref, a1_ref, b1_ref, w1_ref, a2_ref, b2_ref, w2_ref = refs[G : G + 7]
+    out_ref = refs[G + 7]
+    h1s = refs[G + 8]                      # (1, Ht + 2, W, 128) bf16 scratch
+    ty = pl.program_id(1)
+
+    # -- bottleneck: h1 band (+ halo rows) into scratch ---------------------
+    def h1_rows(rows):                     # rows[g]: (1, r, W, 128)
+        acc = None
+        for g in range(G):
+            a = a1_ref[g * LANE : (g + 1) * LANE].reshape(1, 1, 1, LANE)
+            b = b1_ref[g * LANE : (g + 1) * LANE].reshape(1, 1, 1, LANE)
+            h = jnp.maximum(
+                rows[g].astype(jnp.float32) * a + b, 0.0
+            ).astype(jnp.bfloat16)
+            t = jnp.dot(
+                h.reshape(-1, LANE), w1_ref[g * LANE : (g + 1) * LANE, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+        r = rows[0].shape[1]
+        return acc.astype(jnp.bfloat16).reshape(1, r, W, LANE)
+
+    for r0 in range(0, Ht, chunk):
+        r1 = min(r0 + chunk, Ht)
+        h1s[:, r0 + 1 : r1 + 1] = h1_rows(
+            [g[:, r0:r1] for g in g_refs]
+        )
+    # Halo h1 rows: garbage at image edges (the wrapper zero-fills the
+    # raw halo, but BN maps 0 to relu(b1) != 0) — masked to h2 = 0 below.
+    h1s[:, 0:1] = h1_rows(
+        [halo_ref[:, 0, 0:1, :, g * LANE : (g + 1) * LANE] for g in range(G)]
+    )
+    h1s[:, Ht + 1 : Ht + 2] = h1_rows(
+        [halo_ref[:, 0, 1:2, :, g * LANE : (g + 1) * LANE] for g in range(G)]
+    )
+
+    # -- conv2 + merge (conv2_pallas scheme, reading the scratch) ----------
+    a2 = a2_ref[:].reshape(1, 1, 1, LANE)
+    b2 = b2_ref[:].reshape(1, 1, 1, LANE)
+    w2 = w2_ref[:]
+    colmask = (
+        None if Wi == W
+        else jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2) < Wi
+    )
+
+    def h2_rows(x):
+        h = jnp.maximum(x.astype(jnp.float32) * a2 + b2, 0.0).astype(
+            jnp.bfloat16
+        )
+        return h if colmask is None else jnp.where(colmask, h, 0)
+
+    zrow = jnp.zeros((1, 1, W, LANE), jnp.bfloat16)
+    top = jnp.where(ty > 0, h2_rows(h1s[:, 0:1]), 0) if TY > 1 else zrow
+    bot = (
+        jnp.where(ty < TY - 1, h2_rows(h1s[:, Ht + 1 : Ht + 2]), 0)
+        if TY > 1 else zrow
+    )
+
+    # One-hot placement of the 32 output channels at the group offset
+    # (no lane relayout; also zero-fills the other lanes of a fresh group).
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 0)
+        + merge_off
+    ).astype(jnp.bfloat16)
+
+    for r0 in range(0, Ht, chunk):
+        r1 = min(r0 + chunk, Ht)
+        cr = r1 - r0
+        if r0 == 0 and r1 == Ht:
+            h2f = jnp.concatenate([top, h2_rows(h1s[:, 1 : Ht + 1]), bot], 1)
+        elif r0 == 0:
+            h2f = jnp.concatenate([top, h2_rows(h1s[:, 1 : r1 + 2])], 1)
+        elif r1 == Ht:
+            h2f = jnp.concatenate([h2_rows(h1s[:, r0 : Ht + 1]), bot], 1)
+        else:
+            h2f = h2_rows(h1s[:, r0 : r1 + 2])
+        part = jnp.dot(
+            h2f.reshape((cr + 2) * W, LANE), w2,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16).reshape(1, cr + 2, W, N_TAPS * GROWTH)
+        acc = jnp.zeros((1, cr, W, GROWTH), jnp.float32)
+        for tap in range(N_TAPS):
+            dy, dx = divmod(tap, 3)
+            sl = part[:, dy : dy + cr, :, GROWTH * tap : GROWTH * (tap + 1)]
+            acc = acc + _col_shift(sl, dx, W)
+        placed = jnp.dot(
+            acc.astype(jnp.bfloat16).reshape(cr * W, GROWTH), sel,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16).reshape(1, cr, W, LANE)
+        if has_pend:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANE), 3)
+            keep = (lane < merge_off) | (lane >= merge_off + GROWTH)
+            placed = jnp.where(keep, g_refs[G - 1][:, r0:r1, :, :], placed)
+        out_ref[:, r0:r1, :, :] = placed
+
+
+def _kernel_multi(*refs, Gc: int, K: int, H: int, W: int, chunk: int,
+                  Wi: int, pend_n: int, has_pend: bool):
+    """K consecutive dense layers in one pass (TY = 1, no halo): the
+    prefix groups are read from HBM once for all K layers; the group
+    being built lives in a VMEM scratch and is written back once. Each
+    call completes exactly one 128-lane group (K = (128 - pend_n) / 32).
+    """
+    g_refs = refs[:Gc + (1 if has_pend else 0)]
+    a1_ref, b1_ref, w1_ref, a2_ref, b2_ref, w2_ref = refs[len(g_refs):-3]
+    out_ref = refs[-3]
+    h1s = refs[-2]                           # (1, H, W, 128) bf16
+    newg = refs[-1]                          # (1, H, W, 128) bf16
+    CT = w1_ref.shape[1]                     # (K, CT, 128): padded prefix+new
+
+    if has_pend:
+        newg[:] = g_refs[Gc][:]
+    else:
+        newg[:] = jnp.zeros((1, H, W, LANE), jnp.bfloat16)
+
+    colmask = (
+        None if Wi == W
+        else jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2) < Wi
+    )
+    zrow = jnp.zeros((1, 1, W, LANE), jnp.bfloat16)
+
+    for l in range(K):
+        # -- bottleneck: h1 = sum_g relu(bn(x_g)) @ w1_g, newg last ----
+        for r0 in range(0, H, chunk):
+            r1 = min(r0 + chunk, H)
+            acc = None
+            for g in range(Gc + 1):
+                x = (
+                    newg[:, r0:r1] if g == Gc
+                    else g_refs[g][:, r0:r1]
+                )
+                a = a1_ref[l, g * LANE : (g + 1) * LANE].reshape(
+                    1, 1, 1, LANE
+                )
+                b = b1_ref[l, g * LANE : (g + 1) * LANE].reshape(
+                    1, 1, 1, LANE
+                )
+                h = jnp.maximum(
+                    x.astype(jnp.float32) * a + b, 0.0
+                ).astype(jnp.bfloat16)
+                t = jnp.dot(
+                    h.reshape(-1, LANE),
+                    w1_ref[l, g * LANE : (g + 1) * LANE, :],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = t if acc is None else acc + t
+            h1s[:, r0:r1] = acc.astype(jnp.bfloat16).reshape(
+                1, r1 - r0, W, LANE
+            )
+
+        # -- conv2 + merge into newg at lanes [off, off + 32) ----------
+        off = pend_n + GROWTH * l
+        a2 = a2_ref[l].reshape(1, 1, 1, LANE)
+        b2 = b2_ref[l].reshape(1, 1, 1, LANE)
+        w2 = w2_ref[l]
+
+        def h2_rows(x, a2=a2, b2=b2):
+            h = jnp.maximum(x.astype(jnp.float32) * a2 + b2, 0.0).astype(
+                jnp.bfloat16
+            )
+            return h if colmask is None else jnp.where(colmask, h, 0)
+
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 0) + off
+        ).astype(jnp.bfloat16)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANE), 3)
+        keep = (lane < off) | (lane >= off + GROWTH)
+        for r0 in range(0, H, chunk):
+            r1 = min(r0 + chunk, H)
+            cr = r1 - r0
+            pieces = [
+                zrow if r0 == 0 else h2_rows(h1s[:, r0 - 1 : r0]),
+                h2_rows(h1s[:, r0:r1]),
+                zrow if r1 == H else h2_rows(h1s[:, r1 : r1 + 1]),
+            ]
+            h2f = jnp.concatenate(pieces, axis=1)
+            part = jnp.dot(
+                h2f.reshape((cr + 2) * W, LANE), w2,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16).reshape(1, cr + 2, W, N_TAPS * GROWTH)
+            acc = jnp.zeros((1, cr, W, GROWTH), jnp.float32)
+            for tap in range(N_TAPS):
+                dy, dx = divmod(tap, 3)
+                sl = part[
+                    :, dy : dy + cr, :, GROWTH * tap : GROWTH * (tap + 1)
+                ]
+                acc = acc + _col_shift(sl, dx, W)
+            placed = jnp.dot(
+                acc.astype(jnp.bfloat16).reshape(cr * W, GROWTH), sel,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16).reshape(1, cr, W, LANE)
+            newg[:, r0:r1] = jnp.where(keep, newg[:, r0:r1], placed)
+    out_ref[:] = newg[:]
+
+
+def _multi_fits(H: int, W: int, Gc: int) -> bool:
+    """TY = 1 VMEM fit: Gc (+pend) double-buffered input bands, the out
+    block, two full-image scratches, ~1.2 MB of stacked weights and
+    ~3 MB of chunk temps."""
+    return (
+        2 * (Gc + 2) * H * W * 256 + 2 * H * W * 256 <= 9_500_000
+    )
+
+
+def _pick_ty(H: int, W: int, G: int) -> int | None:
+    """Largest band that fits VMEM: G + 1 double-buffered 128-lane band
+    blocks plus the (Ht + 2)-row h1 scratch and ~3 MB of chunk temps."""
+    for ty in (1, 2, 4, 8, 16, 32):
+        if H % ty:
+            continue
+        ht = H // ty
+        if 2 * (G + 1) * ht * W * 256 + (ht + 2) * W * 256 <= 10_500_000:
+            return ty
+    return None
+
+
+def supported(H: int, W: int, G_max: int) -> bool:
+    return _pick_ty(H, -(-W // 8) * 8, G_max) is not None
+
+
+def _build_halo(pieces: list, B: int, TY: int, Ht: int, W: int) -> jax.Array:
+    """(B, TY, 2, W, G*128): raw prefix rows above/below each band,
+    zero at image edges (conv2_pallas._build_halo, per group)."""
+    G = len(pieces)
+    if TY == 1:
+        return jnp.zeros((B, 1, 2, W, G * LANE), jnp.bfloat16)
+    zr = jnp.zeros((B, 1, W, LANE), jnp.bfloat16)
+    cols = []
+    for g in pieces:
+        r = g.reshape(B, TY, Ht, W, LANE)
+        tops = jnp.concatenate([zr, r[:, : TY - 1, Ht - 1]], axis=1)
+        bots = jnp.concatenate([r[:, 1:, 0], zr], axis=1)
+        cols.append(jnp.stack([tops, bots], axis=2))
+    return jnp.concatenate(cols, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pend_n", "Wi", "interpret", "force_ty")
+)
+def dense_layer_fused(
+    pieces: tuple,        # G x (B, H, W, 128) bf16; last = pending buffer
+                          # (lanes [pend_n, 128) zero) when pend_n > 0
+    a1: jax.Array,        # (G*128,) f32 norm1 affine, validity-padded
+    b1: jax.Array,        # (G*128,) f32
+    w1: jax.Array,        # (G*128, 128) bf16 conv1 weights, validity-padded
+    a2: jax.Array,        # (128,) f32 norm2 affine
+    b2: jax.Array,        # (128,) f32
+    w2p: jax.Array,       # (128, 288) packed conv2 weights (pack_w2)
+    pend_n: int,          # valid lanes of the pending piece (0: fresh group)
+    Wi: int,              # valid width (W - Wi pad columns are masked)
+    *, interpret: bool = False, force_ty: int | None = None,
+) -> jax.Array:
+    """One dense layer over the grouped prefix; returns the (B, H, W, 128)
+    group buffer with this layer's 32 channels at lanes
+    [pend_n, pend_n + 32)."""
+    G = len(pieces)
+    B, H, W, _ = pieces[0].shape
+    if W % 8:
+        raise ValueError("width must be sublane-aligned (pad at block entry)")
+    TY = force_ty or _pick_ty(H, W, G)
+    Ht = H // TY
+    pieces = tuple(x.astype(jnp.bfloat16) for x in pieces)
+    halo = _build_halo(list(pieces), B, TY, Ht, W)
+    kern = functools.partial(
+        _kernel, G=G, Ht=Ht, W=W, TY=TY, chunk=min(8, Ht), Wi=Wi,
+        merge_off=pend_n, has_pend=pend_n > 0,
+    )
+    band_spec = pl.BlockSpec(
+        (1, Ht, W, LANE), lambda s, t: (s, t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B, TY),
+        in_specs=[band_spec] * G + [
+            pl.BlockSpec(
+                (1, 1, 2, W, G * LANE), lambda s, t: (s, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            full, full, full, full, full, full,
+        ],
+        out_specs=band_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, LANE), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((1, Ht + 2, W, LANE), jnp.bfloat16)],
+        interpret=interpret,
+    )(
+        *pieces, halo,
+        a1.astype(jnp.float32), b1.astype(jnp.float32),
+        w1.astype(jnp.bfloat16),
+        a2.astype(jnp.float32), b2.astype(jnp.float32),
+        w2p.astype(jnp.bfloat16),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pend_n", "Wi", "interpret")
+)
+def dense_layers_fused(
+    pieces: tuple,        # Gc complete groups [+ pend when pend_n > 0]
+    a1: jax.Array,        # (K, CT) f32, CT = (Gc + 1) * 128, validity-padded
+    b1: jax.Array,        # (K, CT) f32
+    w1: jax.Array,        # (K, CT, 128) bf16
+    a2: jax.Array,        # (K, 128) f32
+    b2: jax.Array,        # (K, 128) f32
+    w2p: jax.Array,       # (K, 128, 288) packed conv2 weights
+    pend_n: int,
+    Wi: int,
+    *, interpret: bool = False,
+) -> jax.Array:
+    """K = (128 - pend_n)/32 consecutive dense layers in one kernel call;
+    returns the completed (B, H, W, 128) group."""
+    K = a1.shape[0]
+    B, H, W, _ = pieces[0].shape
+    if W % 8:
+        raise ValueError("width must be sublane-aligned (pad at block entry)")
+    has_pend = pend_n > 0
+    Gc = len(pieces) - (1 if has_pend else 0)
+    assert pend_n + K * GROWTH == LANE, "call must complete one group"
+    pieces = tuple(x.astype(jnp.bfloat16) for x in pieces)
+    kern = functools.partial(
+        _kernel_multi, Gc=Gc, K=K, H=H, W=W, chunk=min(8, H), Wi=Wi,
+        pend_n=pend_n, has_pend=has_pend,
+    )
+    band_spec = pl.BlockSpec(
+        (1, H, W, LANE), lambda s: (s, 0, 0, 0), memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[band_spec] * len(pieces) + [full] * 6,
+        out_specs=band_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, LANE), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((1, H, W, LANE), jnp.bfloat16),
+            pltpu.VMEM((1, H, W, LANE), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(
+        *pieces,
+        a1.astype(jnp.float32), b1.astype(jnp.float32),
+        w1.astype(jnp.bfloat16),
+        a2.astype(jnp.float32), b2.astype(jnp.float32),
+        w2p.astype(jnp.bfloat16),
+    )
+
+
+def pack_layers(bp: dict, bs: dict, names: list, C0: int, CT: int):
+    """Stack K layers' operands, validity-padded to CT channels.
+
+    C0: valid prefix channels before the first of these layers."""
+    a1s, b1s, w1s, a2s, b2s, w2s = [], [], [], [], [], []
+    C = C0
+    for n in names:
+        a1, b1, w1, a2, b2, w2p = pack_layer(bp[n], bs[n], C, CT // LANE)
+        a1s.append(a1)
+        b1s.append(b1)
+        w1s.append(w1)
+        a2s.append(a2)
+        b2s.append(b2)
+        w2s.append(w2p)
+        C += GROWTH
+    return (
+        jnp.stack(a1s), jnp.stack(b1s), jnp.stack(w1s),
+        jnp.stack(a2s), jnp.stack(b2s), jnp.stack(w2s),
+    )
+
+
+def pack_layer(p: dict, s: dict, C_valid: int, G: int):
+    """Flax DenseLayer params/stats -> validity-padded kernel operands."""
+    from smg_tpu.ops.dense_block_pallas import _bn_affine
+
+    a1, b1 = _bn_affine(p["norm1"], s["norm1"])
+    w1 = p["conv1"]["kernel"].reshape(C_valid, LANE)
+    padn = G * LANE - C_valid
+    if padn:
+        a1 = jnp.pad(a1, (0, padn))
+        b1 = jnp.pad(b1, (0, padn))
+        w1 = jnp.pad(w1, ((0, padn), (0, 0)))
+    a2, b2 = _bn_affine(p["norm2"], s["norm2"])
+    return a1, b1, w1.astype(jnp.bfloat16), a2, b2, pack_w2(
+        p["conv2"]["kernel"]
+    )
+
+
+def dense_block_fused(bp: dict, bs: dict, segs: list, names: list,
+                      *, interpret: bool = False) -> list:
+    """Run a whole dense block through the fused layer kernel.
+
+    segs: completed 128-channel groups plus an optional partial tail
+    (e.g. the 64-channel stem). Returns completed groups (block channel
+    counts always end 128-aligned). Width is padded once at entry and
+    sliced back at exit.
+    """
+    B, H, Wi = segs[0].shape[:3]
+    W = -(-Wi // 8) * 8
+    segs = [
+        jnp.pad(x, ((0, 0), (0, 0), (0, W - Wi), (0, 0))) if W != Wi else x
+        for x in segs
+    ]
+    pend_n = segs[-1].shape[-1] % LANE
+    if pend_n:
+        tail = segs.pop()
+        segs.append(jnp.pad(tail, ((0, 0),) * 3 + ((0, LANE - pend_n),)))
+    i = 0
+    while i < len(names):
+        G = len(segs)
+        Gc = G - (1 if pend_n else 0)
+        K = (LANE - pend_n) // GROWTH
+        if i + K <= len(names) and _multi_fits(H, W, Gc):
+            # Group-completing stride: K layers, prefix read once.
+            C0 = LANE * Gc + pend_n
+            ops = pack_layers(bp, bs, names[i : i + K], C0, (Gc + 1) * LANE)
+            out = dense_layers_fused(
+                tuple(segs), *ops, pend_n=pend_n, Wi=Wi, interpret=interpret
+            )
+            if pend_n:
+                segs[-1] = out
+            else:
+                segs.append(out)
+            pend_n = 0
+            i += K
+            continue
+        n = names[i]
+        C_valid = LANE * Gc + pend_n if pend_n else LANE * G
+        ops = pack_layer(bp[n], bs[n], C_valid, G)
+        out = dense_layer_fused(
+            tuple(segs), *ops, pend_n=pend_n, Wi=Wi, interpret=interpret
+        )
+        if pend_n:
+            segs[-1] = out
+        else:
+            segs.append(out)
+        pend_n = (pend_n + GROWTH) % LANE
+        i += 1
+    assert pend_n == 0, "block channel count must end GROUP-aligned"
+    if W != Wi:
+        segs = [x[:, :, :Wi] for x in segs]
+    return segs

@@ -117,7 +117,7 @@ def test_block_kernel_unaligned_width():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("backend", ["pallas", "xla", "xla_conv", "xla_pk"])
+@pytest.mark.parametrize("backend", ["pallas", "xla", "xla_conv", "xla_pk", "xla_fl"])
 def test_trunk_parity(backend):
     """Full DenseNet-121 trunk: Flax eval apply vs the fast-path forward."""
     key = jax.random.PRNGKey(3)
@@ -135,7 +135,7 @@ def test_trunk_parity(backend):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("backend", ["pallas", "xla", "xla_conv", "xla_pk"])
+@pytest.mark.parametrize("backend", ["pallas", "xla", "xla_conv", "xla_pk", "xla_fl"])
 def test_score_eval_parity(backend):
     """score_eval == AffordanceNet.score (eval) end to end."""
     cfg = ModelConfig(method="reinforcement", input_size=64)
