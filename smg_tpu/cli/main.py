@@ -122,8 +122,12 @@ def save_step_rgbd(logger: Logger, state, iteration: int) -> None:
 def main(argv=None) -> None:
     from smg_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache()
+    # parse_args applies --cpu (jax_platforms override) and must run
+    # before anything that can initialize a backend: enabling the
+    # compilation cache freezes the platform choice, which both breaks
+    # --cpu and grabs the exclusive TPU chip for a CPU-only run.
     cfg = cfg_mod.parse_args(argv)
+    enable_persistent_cache()
     print(f"devices: {jax.devices()}")
 
     if cfg.env.segmentation == "learned":

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from smg_tpu.core import tendon
 from smg_tpu.physics.state import Gripper
@@ -44,7 +45,7 @@ PALM_RADIUS = P.D0 / 2.0
 PALM_DROP = 0.02  # palm center sits just above the finger-base ring
 PAD_OFFSET = P.sucker_height  # pad tip protrudes below the fingertip
 
-FINGER_AZIMUTHS = jnp.arange(N_FINGERS) * (jnp.pi / 2.0)
+FINGER_AZIMUTHS = np.arange(N_FINGERS) * (np.pi / 2.0)  # numpy: no backend init
 
 
 def collider_spheres(g: Gripper):

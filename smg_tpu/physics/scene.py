@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from smg_tpu.core import rotation as rot
 from smg_tpu.physics import shapes, stepper
@@ -30,7 +31,7 @@ from smg_tpu.physics.state import (
     WORKSPACE,
 )
 
-_COLORS = jnp.array(
+_COLORS = np.array(  # numpy: no backend init at import time
     [
         [0.89, 0.28, 0.22], [0.25, 0.55, 0.88], [0.32, 0.73, 0.35],
         [0.95, 0.71, 0.19], [0.67, 0.38, 0.84], [0.25, 0.78, 0.78],

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from smg_tpu.core import rotation as rot
@@ -38,11 +39,13 @@ ATTACHED_GRASP = 1
 ATTACHED_SUCTION = 2
 
 # Workspace (reference main.py:31) and episode thresholds.
-WORKSPACE = jnp.array([[-0.724, -0.276], [-0.224, 0.224], [-0.0001, 0.4]])
+# numpy, not jnp: module-level device arrays initialize the jax backend
+# at import time (breaking the CLI's --cpu override; grabbing the TPU).
+WORKSPACE = np.array([[-0.724, -0.276], [-0.224, 0.224], [-0.0001, 0.4]])
 LIFT_SUCCESS_Z = 0.11  # reference robot.py:385
 FALLEN_Z = 0.001  # reference robot.py:458
 DROP_Z = 0.08  # reference robot.py:133
-PARK_POS = jnp.array([-0.5, 0.5, 0.1])  # reference robot.py:388
+PARK_POS = np.array([-0.5, 0.5, 0.1])  # reference robot.py:388
 
 
 @struct.dataclass

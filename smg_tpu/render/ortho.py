@@ -20,12 +20,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from smg_tpu.core import rotation as rot
 from smg_tpu.physics.state import Objects, WORKSPACE
 from smg_tpu.render import raycast
 
-TABLE_COLOR = jnp.array([0.35, 0.35, 0.38])
+TABLE_COLOR = np.array([0.35, 0.35, 0.38])  # numpy: no backend init at import
 RAY_TOP = 0.5  # rays start above the tallest reachable configuration
 
 

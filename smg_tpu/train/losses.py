@@ -13,7 +13,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-REACTIVE_CLASS_WEIGHTS = jnp.array([1.0, 1.0, 0.0])
+# Tuple, not jnp.array: a module-level device array would initialize the
+# jax backend at import time, defeating the CLI's --cpu platform override
+# (and grabbing the exclusive TPU chip before main() runs).
+REACTIVE_CLASS_WEIGHTS = (1.0, 1.0, 0.0)
 
 
 def reactive_ce(logits: jax.Array, label: jax.Array) -> jax.Array:
@@ -24,7 +27,7 @@ def reactive_ce(logits: jax.Array, label: jax.Array) -> jax.Array:
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     picked = jnp.take_along_axis(logp, label[..., None], axis=-1)[..., 0]
-    w = REACTIVE_CLASS_WEIGHTS[label]
+    w = jnp.asarray(REACTIVE_CLASS_WEIGHTS)[label]
     return -w * picked
 
 

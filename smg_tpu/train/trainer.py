@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -60,13 +61,13 @@ class TrainConfig:
     target_update_freq: int = 10         # main.py:450
     is_ets: bool = False
     scene_chunk: int = 4                 # scenes scored per model call
-    # Eval-mode forward implementation: 'auto' uses the fused Pallas
-    # dense-block path (ops/dense_block_pallas.py) on TPU for the
-    # DenseNet trunk and the Flax/XLA path elsewhere (CPU tests, tiny
-    # trunks, train mode). 'on'/'off' force it. Default off while the
-    # kernel's geometry tuning lands (it is parity-tested but not yet
-    # faster than XLA at the production shapes).
-    fast_eval: str = "off"
+    # Eval-mode forward implementation: 'auto' uses the fast trunk
+    # (models/fast_trunk.py — grouped-prefix blocks + the fused conv2/
+    # transition/stem Pallas kernels, 1.6x the Flax apply at the 640
+    # parity shape) on TPU for the DenseNet trunk, and the Flax/XLA
+    # path elsewhere (CPU tests, tiny trunks, train mode). 'on'/'off'
+    # force it.
+    fast_eval: str = "auto"
 
 
 @struct.dataclass
@@ -100,7 +101,7 @@ class SceneScores:
 
 
 # Pair index table for ETS (i < j upper triangle of N_SLOTS).
-_PI, _PJ = jnp.triu_indices(N_SLOTS, k=1)
+_PI, _PJ = np.triu_indices(N_SLOTS, k=1)  # numpy: no backend init at import
 N_PAIRS = int(_PI.shape[0])
 
 
