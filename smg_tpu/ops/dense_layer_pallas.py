@@ -146,40 +146,76 @@ def _kernel(*refs, G: int, Ht: int, W: int, TY: int, chunk: int, Wi: int,
         out_ref[:, r0:r1, :, :] = placed
 
 
-def _kernel_multi(*refs, Gc: int, K: int, H: int, W: int, chunk: int,
-                  Wi: int, pend_n: int, has_pend: bool):
-    """K consecutive dense layers in one pass (TY = 1, no halo): the
-    prefix groups are read from HBM once for all K layers; the group
-    being built lives in a VMEM scratch and is written back once. Each
-    call completes exactly one 128-lane group (K = (128 - pend_n) / 32).
+def _kernel_multi(*refs, Gc: int, K: int, Ht: int, W: int, TY: int,
+                  H_img: int, chunk: int, Wi: int, pend_n: int,
+                  has_pend: bool):
+    """K consecutive dense layers in one pass: the prefix groups are read
+    from HBM once for all K layers; the group being built lives in a VMEM
+    scratch and is written back once. Each call completes exactly one
+    128-lane group (K = (128 - pend_n) / 32).
+
+    Banding (TY > 1): layer l's output is needed on band +- (K-1-l) rows
+    and its h1 on band +- (K-l), so the halo side input carries K raw
+    prefix rows per side and both scratches span Ht + 2K rows (the halo
+    pyramid). Out-of-image rows compute garbage h1 that every consumer
+    masks to h2 = 0 (the conv's zero padding); out_ref takes only the
+    central Ht rows.
     """
-    g_refs = refs[:Gc + (1 if has_pend else 0)]
-    a1_ref, b1_ref, w1_ref, a2_ref, b2_ref, w2_ref = refs[len(g_refs):-3]
+    pad = K if TY > 1 else 0
+    S = Ht + 2 * pad
+    G_in = Gc + (1 if has_pend else 0)
+    g_refs = refs[:G_in]
+    halo_ref = refs[G_in]        # (1, 1, 2*pad, W, G_in*128) (pad=0: unused)
+    a1_ref, b1_ref, w1_ref, a2_ref, b2_ref, w2_ref = refs[G_in + 1:-3]
     out_ref = refs[-3]
-    h1s = refs[-2]                           # (1, H, W, 128) bf16
-    newg = refs[-1]                          # (1, H, W, 128) bf16
-    CT = w1_ref.shape[1]                     # (K, CT, 128): padded prefix+new
+    h1s = refs[-2]                           # (1, S, W, 128) bf16
+    newg = refs[-1]                          # (1, S, W, 128) bf16
+    ty = pl.program_id(1)
+
+    def group_rows(g, i0, i1):
+        """Scratch rows [i0, i1) of prefix group g: above-halo | band |
+        below-halo pieces (scratch row i = band row i - pad)."""
+        pieces = []
+        if i0 < pad:
+            pieces.append(
+                halo_ref[:, 0, i0 : min(i1, pad), :,
+                         g * LANE : (g + 1) * LANE]
+            )
+        b0, b1_ = max(i0, pad), min(i1, pad + Ht)
+        if b0 < b1_:
+            pieces.append(g_refs[g][:, b0 - pad : b1_ - pad])
+        if i1 > pad + Ht:
+            pieces.append(
+                halo_ref[:, 0, pad + max(i0, pad + Ht) - (pad + Ht)
+                         : pad + i1 - (pad + Ht), :,
+                         g * LANE : (g + 1) * LANE]
+            )
+        return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 1)
 
     if has_pend:
-        newg[:] = g_refs[Gc][:]
+        if pad:
+            newg[:, 0:pad] = group_rows(Gc, 0, pad)
+            newg[:, pad + Ht : S] = group_rows(Gc, pad + Ht, S)
+        newg[:, pad : pad + Ht] = g_refs[Gc][:]
     else:
-        newg[:] = jnp.zeros((1, H, W, LANE), jnp.bfloat16)
+        newg[:] = jnp.zeros((1, S, W, LANE), jnp.bfloat16)
 
     colmask = (
         None if Wi == W
         else jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2) < Wi
     )
-    zrow = jnp.zeros((1, 1, W, LANE), jnp.bfloat16)
 
     for l in range(K):
         # -- bottleneck: h1 = sum_g relu(bn(x_g)) @ w1_g, newg last ----
-        for r0 in range(0, H, chunk):
-            r1 = min(r0 + chunk, H)
+        e = K - l if pad else 0             # h1 extent beyond the band
+        lo, hi = pad - e, pad + Ht + e      # h1s rows to fill
+        for r0 in range(lo, hi, chunk):
+            r1 = min(r0 + chunk, hi)
             acc = None
             for g in range(Gc + 1):
                 x = (
                     newg[:, r0:r1] if g == Gc
-                    else g_refs[g][:, r0:r1]
+                    else group_rows(g, r0, r1)
                 )
                 a = a1_ref[l, g * LANE : (g + 1) * LANE].reshape(
                     1, 1, 1, LANE
@@ -206,11 +242,18 @@ def _kernel_multi(*refs, Gc: int, K: int, H: int, W: int, chunk: int,
         b2 = b2_ref[l].reshape(1, 1, 1, LANE)
         w2 = w2_ref[l]
 
-        def h2_rows(x, a2=a2, b2=b2):
+        def h2_rows(x, r0, a2=a2, b2=b2):
             h = jnp.maximum(x.astype(jnp.float32) * a2 + b2, 0.0).astype(
                 jnp.bfloat16
             )
-            return h if colmask is None else jnp.where(colmask, h, 0)
+            if colmask is not None:
+                h = jnp.where(colmask, h, 0)
+            # Image rows: scratch row r -> image row ty*Ht + r - pad.
+            img = (
+                jax.lax.broadcasted_iota(jnp.int32, x.shape[:3] + (1,), 1)
+                + r0 + ty * Ht - pad
+            )
+            return jnp.where((img >= 0) & (img < H_img), h, 0)
 
         sel = (
             jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 1)
@@ -218,15 +261,21 @@ def _kernel_multi(*refs, Gc: int, K: int, H: int, W: int, chunk: int,
         ).astype(jnp.bfloat16)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANE), 3)
         keep = (lane < off) | (lane >= off + GROWTH)
-        for r0 in range(0, H, chunk):
-            r1 = min(r0 + chunk, H)
+        eo = K - 1 - l if pad else 0        # output extent beyond the band
+        olo, ohi = pad - eo, pad + Ht + eo
+        for r0 in range(olo, ohi, chunk):
+            r1 = min(r0 + chunk, ohi)
             cr = r1 - r0
-            pieces = [
-                zrow if r0 == 0 else h2_rows(h1s[:, r0 - 1 : r0]),
-                h2_rows(h1s[:, r0:r1]),
-                zrow if r1 == H else h2_rows(h1s[:, r1 : r1 + 1]),
-            ]
-            h2f = jnp.concatenate(pieces, axis=1)
+            if r0 - 1 >= 0 and r1 + 1 <= S:
+                h2f = h2_rows(h1s[:, r0 - 1 : r1 + 1], r0 - 1)
+            else:
+                # TY == 1 image edges: the conv's zero padding.
+                zrow = jnp.zeros((1, 1, W, LANE), jnp.bfloat16)
+                h2f = jnp.concatenate([
+                    zrow if r0 == 0 else h2_rows(h1s[:, r0 - 1 : r0], r0 - 1),
+                    h2_rows(h1s[:, r0:r1], r0),
+                    zrow if r1 == S else h2_rows(h1s[:, r1 : r1 + 1], r1),
+                ], axis=1)
             part = jnp.dot(
                 h2f.reshape((cr + 2) * W, LANE), w2,
                 preferred_element_type=jnp.float32,
@@ -243,16 +292,24 @@ def _kernel_multi(*refs, Gc: int, K: int, H: int, W: int, chunk: int,
                 preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16).reshape(1, cr, W, LANE)
             newg[:, r0:r1] = jnp.where(keep, newg[:, r0:r1], placed)
-    out_ref[:] = newg[:]
+    out_ref[:] = newg[:, pad : pad + Ht]
 
 
-def _multi_fits(H: int, W: int, Gc: int) -> bool:
-    """TY = 1 VMEM fit: Gc (+pend) double-buffered input bands, the out
-    block, two full-image scratches, ~1.2 MB of stacked weights and
-    ~3 MB of chunk temps."""
-    return (
-        2 * (Gc + 2) * H * W * 256 + 2 * H * W * 256 <= 9_500_000
-    )
+def _pick_ty_multi(H: int, W: int, Gc: int, K: int) -> int | None:
+    """Band fit: Gc (+pend) double-buffered input bands, the out block,
+    two (Ht + 2K)-row scratches, stacked weights and chunk temps."""
+    for ty in (1, 2, 4, 8, 16, 32):
+        if H % ty:
+            continue
+        ht = H // ty
+        pad = K if ty > 1 else 0
+        if (
+            2 * (Gc + 2) * ht * W * 256
+            + 2 * (ht + 2 * pad) * W * 256
+            <= 9_500_000
+        ):
+            return ty
+    return None
 
 
 def _pick_ty(H: int, W: int, G: int) -> int | None:
@@ -346,8 +403,25 @@ def dense_layer_fused(
     )
 
 
+def _build_halo_k(pieces: list, B: int, TY: int, Ht: int, W: int,
+                  pad: int) -> jax.Array:
+    """(B, TY, 2*pad, W, G*128): pad raw prefix rows above and below each
+    band (zeros past the image edges)."""
+    G = len(pieces)
+    if TY == 1:
+        return jnp.zeros((B, 1, 2, W, G * LANE), jnp.bfloat16)
+    zr = jnp.zeros((B, 1, pad, W, LANE), jnp.bfloat16)
+    cols = []
+    for g in pieces:
+        r = g.reshape(B, TY, Ht, W, LANE)
+        tops = jnp.concatenate([zr, r[:, : TY - 1, Ht - pad :]], axis=1)
+        bots = jnp.concatenate([r[:, 1:, :pad], zr], axis=1)
+        cols.append(jnp.concatenate([tops, bots], axis=2))
+    return jnp.concatenate(cols, axis=-1)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("pend_n", "Wi", "interpret")
+    jax.jit, static_argnames=("pend_n", "Wi", "interpret", "force_ty")
 )
 def dense_layers_fused(
     pieces: tuple,        # Gc complete groups [+ pend when pend_n > 0]
@@ -359,11 +433,11 @@ def dense_layers_fused(
     w2p: jax.Array,       # (K, 128, 288) packed conv2 weights
     pend_n: int,
     Wi: int,
-    *, interpret: bool = False,
+    *, interpret: bool = False, force_ty: int | None = None,
 ) -> jax.Array:
     """K = (128 - pend_n)/32 consecutive dense layers in one kernel call;
     returns the completed (B, H, W, 128) group."""
-    K = a1.shape[0]
+    K = int(a1.shape[0])
     B, H, W, _ = pieces[0].shape
     if W % 8:
         raise ValueError("width must be sublane-aligned (pad at block entry)")
@@ -371,27 +445,38 @@ def dense_layers_fused(
     Gc = len(pieces) - (1 if has_pend else 0)
     assert pend_n + K * GROWTH == LANE, "call must complete one group"
     pieces = tuple(x.astype(jnp.bfloat16) for x in pieces)
+    TY = force_ty or _pick_ty_multi(H, W, Gc, K)
+    Ht = H // TY
+    pad = K if TY > 1 else 0
+    halo = _build_halo_k(list(pieces), B, TY, Ht, W, max(pad, 1))
     kern = functools.partial(
-        _kernel_multi, Gc=Gc, K=K, H=H, W=W, chunk=min(8, H), Wi=Wi,
-        pend_n=pend_n, has_pend=has_pend,
+        _kernel_multi, Gc=Gc, K=K, Ht=Ht, W=W, TY=TY, H_img=H,
+        chunk=min(8, Ht), Wi=Wi, pend_n=pend_n, has_pend=has_pend,
     )
     band_spec = pl.BlockSpec(
-        (1, H, W, LANE), lambda s: (s, 0, 0, 0), memory_space=pltpu.VMEM,
+        (1, Ht, W, LANE), lambda s, t: (s, t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    halo_rows = halo.shape[2]
+    halo_spec = pl.BlockSpec(
+        (1, 1, halo_rows, W, len(pieces) * LANE),
+        lambda s, t: (s, t, 0, 0, 0), memory_space=pltpu.VMEM,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    S = Ht + 2 * pad
     return pl.pallas_call(
         kern,
-        grid=(B,),
-        in_specs=[band_spec] * len(pieces) + [full] * 6,
+        grid=(B, TY),
+        in_specs=[band_spec] * len(pieces) + [halo_spec] + [full] * 6,
         out_specs=band_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, W, LANE), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((1, H, W, LANE), jnp.bfloat16),
-            pltpu.VMEM((1, H, W, LANE), jnp.bfloat16),
+            pltpu.VMEM((1, S, W, LANE), jnp.bfloat16),
+            pltpu.VMEM((1, S, W, LANE), jnp.bfloat16),
         ],
         interpret=interpret,
     )(
-        *pieces,
+        *pieces, halo,
         a1.astype(jnp.float32), b1.astype(jnp.float32),
         w1.astype(jnp.bfloat16),
         a2.astype(jnp.float32), b2.astype(jnp.float32),
@@ -461,7 +546,7 @@ def dense_block_fused(bp: dict, bs: dict, segs: list, names: list,
         G = len(segs)
         Gc = G - (1 if pend_n else 0)
         K = (LANE - pend_n) // GROWTH
-        if i + K <= len(names) and _multi_fits(H, W, Gc):
+        if i + K <= len(names) and _pick_ty_multi(H, W, Gc, K) is not None:
             # Group-completing stride: K layers, prefix read once.
             C0 = LANE * Gc + pend_n
             ops = pack_layers(bp, bs, names[i : i + K], C0, (Gc + 1) * LANE)

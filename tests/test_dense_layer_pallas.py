@@ -160,6 +160,50 @@ def test_dense_block_fused_vs_xla_segs():
     )
 
 
+@pytest.mark.parametrize("Gc,pend_n,ty", [
+    (1, 0, 2),       # K = 4, banded: the K-row halo pyramid
+    (2, 64, 4),      # K = 2, deeper prefix, more bands
+])
+def test_dense_layers_fused_multi_banded(Gc, pend_n, ty):
+    """Banded K-layer fusion == the TY = 1 run (halo pyramid exactness,
+    including image-edge zero padding)."""
+    K = (128 - pend_n) // 32
+    B, H, W = 1, 16, 16
+    G = Gc + (1 if pend_n else 0)
+    ks = jax.random.split(jax.random.PRNGKey(77 + Gc), G)
+    pieces = []
+    for g in range(G):
+        x = jax.random.normal(ks[g], (B, H, W, 128), jnp.bfloat16)
+        if pend_n and g == G - 1:
+            x = x.at[..., pend_n:].set(0)
+        pieces.append(x)
+    CT = (Gc + 1) * 128
+    km = jax.random.split(jax.random.PRNGKey(88), 6)
+    a1 = jax.random.uniform(km[0], (K, CT), jnp.float32, 0.5, 1.5)
+    b1 = jax.random.normal(km[1], (K, CT)) * 0.1
+    w1 = jax.random.normal(km[2], (K, CT, 128), jnp.float32) * 0.05
+    a2 = jax.random.uniform(km[3], (K, 128), jnp.float32, 0.5, 1.5)
+    b2 = jax.random.normal(km[4], (K, 128)) * 0.1
+    w2 = jax.random.normal(km[5], (K, 128, 288), jnp.float32) * 0.05
+    # Zero the validity padding so TY = 1 and banded agree exactly.
+    C0 = 128 * Gc + pend_n
+    for l in range(K):
+        Cl = C0 + 32 * l
+        a1 = a1.at[l, Cl:].set(0)
+        b1 = b1.at[l, Cl:].set(0)
+        w1 = w1.at[l, Cl:].set(0)
+    ops = (a1, b1, w1.astype(jnp.bfloat16), a2, b2,
+           w2.astype(jnp.bfloat16))
+    want = dlp.dense_layers_fused(
+        tuple(pieces), *ops, pend_n=pend_n, Wi=W, interpret=True, force_ty=1,
+    )
+    got = dlp.dense_layers_fused(
+        tuple(pieces), *ops, pend_n=pend_n, Wi=W, interpret=True,
+        force_ty=ty,
+    )
+    _check(got, want, tol=0.02)
+
+
 @pytest.mark.parametrize("Gc,pend_n", [(1, 0), (2, 64), (1, 96)])
 def test_dense_layers_fused_multi(Gc, pend_n):
     """K group-completing layers in one kernel == K sequential
