@@ -4,7 +4,9 @@ A pure-function re-implementation of `AffordanceNet.score`'s eval branch
 (models/affordance.py:132-165) that reads the Flax param/batch_stats
 pytrees directly, so the trainer can swap it in for scoring and DQN
 target evaluation without touching the module structure or checkpoints.
-Train mode (batch BN statistics, gradients) stays on the Flax/XLA path.
+Train mode (the update's gradient pass) has its own grouped-prefix
+forward with batch-BN semantics (`score_train`, plain differentiable
+jnp) — see the "Train mode" section below.
 
 Parity notes (all tolerance-tested against `model.apply` in
 tests/test_fast_trunk.py):
@@ -392,6 +394,215 @@ def trunk_features_eval(
         )
         num_features = C_out
     return y
+
+
+# ---------------------------------------------------------------------------
+# Train mode: grouped-prefix forward with batch BatchNorm (differentiable)
+# ---------------------------------------------------------------------------
+#
+# The update's gradient pass ran the Flax module, whose rolling concats
+# dominate device time exactly like the eval trunk's did (43% profiled)
+# — and autodiff doubles them (concat backward = slices). This is the
+# same no-concat restructure as the eval path, but BN computes batch
+# statistics (flax.linen.BatchNorm semantics: f32 stats over (N, H, W),
+# biased variance, running average ra = m*ra + (1-m)*stat, m = 0.99) and
+# everything stays plain differentiable jnp. Parity + grad equivalence:
+# tests/test_fast_trunk.py::test_score_train_*.
+
+BN_MOMENTUM = 0.99
+BN_EPS = 1e-5
+
+
+def _bn_train(xs: list, np_: dict, ns: dict):
+    """Batch-BN affine over a segmented tensor: per-channel f32 stats
+    from the segments (channels are disjoint, so per-segment moments are
+    exact). Returns (a, b, new_running_stats)."""
+    means, var2 = [], []
+    for seg in xs:
+        x = seg.astype(jnp.float32)
+        means.append(x.mean(axis=tuple(range(x.ndim - 1))))
+        var2.append((x * x).mean(axis=tuple(range(x.ndim - 1))))
+    mean = jnp.concatenate(means) if len(xs) > 1 else means[0]
+    m2 = jnp.concatenate(var2) if len(xs) > 1 else var2[0]
+    var = m2 - mean * mean
+    a = np_["scale"] * jax.lax.rsqrt(var + BN_EPS)
+    b = np_["bias"] - mean * a
+    new = {
+        "mean": BN_MOMENTUM * ns["mean"] + (1 - BN_MOMENTUM) * mean,
+        "var": BN_MOMENTUM * ns["var"] + (1 - BN_MOMENTUM) * var,
+    }
+    return a, b, new
+
+
+def _bn_relu_slice_dt(seg, a, b, off, dtype):
+    c = seg.shape[-1]
+    return jnp.maximum(
+        seg.astype(jnp.float32) * a[off : off + c] + b[off : off + c], 0.0
+    ).astype(dtype)
+
+
+def _dense_layer_train(p: dict, s: dict, segs: list, dtype=jnp.bfloat16):
+    """One dense layer, batch-BN: returns (new_32ch, new_stats)."""
+    B, H, W = segs[0].shape[:3]
+    a1, b1, n1 = _bn_train(segs, p["norm1"], s["norm1"])
+    C = a1.shape[-1]
+    w1 = p["conv1"]["kernel"].reshape(C, dbp.BOTTLENECK).astype(dtype)
+    h1 = None
+    off = 0
+    for seg in segs:
+        c = seg.shape[-1]
+        h = _bn_relu_slice_dt(seg, a1, b1, off, dtype)
+        t = jnp.dot(
+            h.reshape(-1, c), w1[off : off + c],
+            preferred_element_type=jnp.float32,
+        )
+        h1 = t if h1 is None else h1 + t
+        off += c
+    h1 = h1.reshape(B, H, W, dbp.BOTTLENECK)
+    a2, b2, n2 = _bn_train([h1], p["norm2"], s["norm2"])
+    h2 = jnp.maximum(h1 * a2 + b2, 0.0).astype(dtype)
+    new = jax.lax.conv_general_dilated(
+        h2, p["conv2"]["kernel"].astype(dtype),
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return new, {"norm1": n1, "norm2": n2}
+
+
+def trunk_features_train(tp: dict, ts: dict, x: jax.Array,
+                         dtype=jnp.bfloat16):
+    """DenseNet-121 `.features` train-mode forward (batch BN), grouped
+    prefix: (B, S, S, 3) -> ((B, S/32, S/32, 1024), new_batch_stats)."""
+    new_ts: dict = {}
+    k0 = tp["conv0"]["kernel"]
+    kg = k0.sum(axis=2, keepdims=True).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x[..., :1].astype(dtype), kg,
+        window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    a0, b0, new_ts["norm0"] = _bn_train([y], tp["norm0"], ts["norm0"])
+    y = jnp.maximum(
+        y.astype(jnp.float32) * a0 + b0, 0.0
+    ).astype(dtype)
+    y = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    ).astype(dtype)
+    segs = [y]
+    for i in range(len(BLOCK_CONFIG)):
+        bname = f"denseblock{i + 1}"
+        bp, bs = tp[bname], ts[bname]
+        names = sorted(bp, key=lambda n: int(n.removeprefix("denselayer")))
+        bstats: dict = {}
+        pend_c = segs[-1].shape[-1] % GROUP
+        for n in names:
+            new, bstats[n] = _dense_layer_train(bp[n], bs[n], segs, dtype)
+            new = new.astype(dtype)
+            if pend_c == 0:
+                segs.append(new)
+            else:
+                segs[-1] = jnp.concatenate([segs[-1], new], axis=-1)
+            pend_c = (pend_c + dbp.GROWTH) % GROUP
+        new_ts[bname] = bstats
+        if i < len(BLOCK_CONFIG) - 1:
+            tname = f"transition{i + 1}"
+            av, bv, nstat = _bn_train(
+                segs, tp[tname]["norm"], ts[tname]["norm"]
+            )
+            new_ts[tname] = {"norm": nstat}
+            C = av.shape[-1]
+            k = tp[tname]["conv"]["kernel"]
+            kf = k.reshape(C, k.shape[3]).astype(dtype)
+            out = None
+            off = 0
+            for seg in segs:
+                c = seg.shape[-1]
+                h = _bn_relu_slice_dt(seg, av, bv, off, dtype)
+                B, H, W = h.shape[:3]
+                h = jnp.mean(
+                    h.reshape(B, H // 2, 2, W // 2, 2, c), axis=(2, 4),
+                    dtype=jnp.float32,
+                ).astype(dtype)
+                t = jnp.dot(
+                    h.reshape(-1, c), kf[off : off + c],
+                    preferred_element_type=jnp.float32,
+                )
+                out = t if out is None else out + t
+                off += c
+            out = out.astype(dtype).reshape(
+                B, H // 2, W // 2, k.shape[3]
+            )
+            segs = [
+                out[..., o : o + GROUP] for o in range(0, k.shape[3], GROUP)
+            ]
+    a5, b5, new_ts["norm5"] = _bn_train(segs, tp["norm5"], ts["norm5"])
+    off, outs = 0, []
+    for seg in segs:
+        c = seg.shape[-1]
+        outs.append(
+            (seg.astype(jnp.float32) * a5[off : off + c]
+             + b5[off : off + c]).astype(dtype)
+        )
+        off += c
+    return jnp.concatenate(outs, axis=-1), new_ts
+
+
+def head_train(hp: dict, hs: dict, x: jax.Array, num_out: int,
+               dtype=jnp.bfloat16):
+    """AffordanceHead train-mode forward: returns (out, new_stats)."""
+    a0, b0, n0 = _bn_train([x], hp["norm0"], hs["norm0"])
+    h = jnp.maximum(x.astype(jnp.float32) * a0 + b0, 0.0).astype(dtype)
+    k0 = hp["conv0"]["kernel"]
+    h = jnp.dot(
+        h.reshape(-1, k0.shape[2]),
+        k0.reshape(k0.shape[2], 64).astype(dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(x.shape[:3] + (64,))
+    a1, b1, n1 = _bn_train([h], hp["norm1"], hs["norm1"])
+    h = jnp.maximum(h * a1 + b1, 0.0).astype(dtype)
+    k1 = hp["conv1"]["kernel"]
+    B = x.shape[0]
+    out = jnp.dot(
+        h.reshape(B, -1), k1.reshape(-1, num_out).astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.float32), {"norm0": n0, "norm1": n1}
+
+
+def score_train(
+    params: dict, stats: dict, scene_img: jax.Array, mask_imgs: jax.Array,
+    num_out: int,
+    *, trunk_key: str = "grasp_trunk", head_key: str = "grasp_head",
+    dtype=jnp.bfloat16,
+):
+    """Train-mode AffordanceNet.score (affordance.py:141-149): two
+    separate trunk passes (the reference's per-stream BN statistics),
+    head on the 2048-channel concat. Returns (scores (B, M, num_out),
+    {"grasp_trunk": new_stats, "grasp_head": new_stats}) — the same
+    contract as model.apply(..., mutable=['batch_stats']).
+
+    The scene pass's running-average update feeds the mask pass's, so
+    the returned stats match Flax's sequential-call semantics.
+    """
+    B, M = mask_imgs.shape[0], mask_imgs.shape[1]
+    mask_flat = mask_imgs.reshape((B * M,) + mask_imgs.shape[2:])
+    tp, ts = params[trunk_key], stats[trunk_key]
+    scene_feat, ts1 = trunk_features_train(tp, ts, scene_img, dtype)
+    mask_feat, ts2 = trunk_features_train(tp, ts1, mask_flat, dtype)
+    h, w, c = scene_feat.shape[1:]
+    scene_rep = jnp.broadcast_to(
+        scene_feat[:, None], (B, M, h, w, c)
+    ).reshape(B * M, h, w, c)
+    both = jnp.concatenate(
+        [scene_rep, mask_feat.astype(scene_rep.dtype)], axis=-1
+    )
+    out, hs_new = head_train(
+        params[head_key], stats[head_key], both, num_out, dtype
+    )
+    return out.reshape(B, M, num_out), {
+        trunk_key: ts2, head_key: hs_new
+    }
 
 
 def head_eval(hp: dict, hs: dict, x: jax.Array, num_out: int) -> jax.Array:

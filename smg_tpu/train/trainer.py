@@ -68,6 +68,10 @@ class TrainConfig:
     # path elsewhere (CPU tests, tiny trunks, train mode). 'on'/'off'
     # force it.
     fast_eval: str = "auto"
+    # Train-mode (update gradient pass) forward implementation: 'auto'
+    # uses the grouped-prefix batch-BN forward (fast_trunk.score_train)
+    # on TPU for the DenseNet trunk. 'on'/'off' force it.
+    fast_train: str = "auto"
 
 
 @struct.dataclass
@@ -220,6 +224,12 @@ class Trainer:
             return self.model.apply(
                 {"params": p, "batch_stats": s}, scene_in, mask_ins,
                 STYLE_GRASP, False, method=AffordanceNet.score,
+            )
+        if self._use_fast_train:
+            from smg_tpu.models import fast_trunk
+
+            return fast_trunk.score_train(
+                p, s, scene_in, mask_ins, self.cfg.model.num_out
             )
         out, mut = self.model.apply(
             {"params": p, "batch_stats": s}, scene_in, mask_ins,
@@ -484,6 +494,20 @@ class Trainer:
             return True
         return (
             self.cfg.fast_eval == "auto"
+            and self.cfg.model.trunk == "densenet121"
+            and jax.default_backend() == "tpu"
+        )
+
+    @property
+    def _use_fast_train(self) -> bool:
+        """Grouped-prefix train-mode forward (fast_trunk.score_train):
+        the same no-concat restructure as the eval path with batch-BN,
+        plain differentiable jnp — cuts the update's concat traffic in
+        forward AND backward."""
+        if self.cfg.fast_train == "on":
+            return True
+        return (
+            self.cfg.fast_train == "auto"
             and self.cfg.model.trunk == "densenet121"
             and jax.default_backend() == "tpu"
         )
