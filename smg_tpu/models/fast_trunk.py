@@ -441,8 +441,14 @@ def _bn_relu_slice_dt(seg, a, b, off, dtype):
     ).astype(dtype)
 
 
-def _dense_layer_train(p: dict, s: dict, segs: list, dtype=jnp.bfloat16):
-    """One dense layer, batch-BN: returns (new_32ch, new_stats)."""
+def _dense_layer_train(p: dict, s: dict, segs: list, dtype=jnp.bfloat16,
+                       conv2: str = "conv"):
+    """One dense layer, batch-BN: returns (new_32ch, new_stats).
+
+    conv2 'taps' packs the nine 3x3 taps on the matmul N axis (128 ->
+    288 lanes, full MXU occupancy vs the 32-channel conv's 32/128) with
+    the spatial gather as nine pad-slice adds — the differentiable
+    matmul form of the eval path's packed-taps lowering."""
     B, H, W = segs[0].shape[:3]
     a1, b1, n1 = _bn_train(segs, p["norm1"], s["norm1"])
     C = a1.shape[-1]
@@ -461,6 +467,23 @@ def _dense_layer_train(p: dict, s: dict, segs: list, dtype=jnp.bfloat16):
     h1 = h1.reshape(B, H, W, dbp.BOTTLENECK)
     a2, b2, n2 = _bn_train([h1], p["norm2"], s["norm2"])
     h2 = jnp.maximum(h1 * a2 + b2, 0.0).astype(dtype)
+    if conv2 == "taps":
+        w2 = (
+            p["conv2"]["kernel"].transpose(2, 0, 1, 3)
+            .reshape(dbp.BOTTLENECK, dbp.N_TAPS * dbp.GROWTH)
+            .astype(dtype)
+        )
+        part = jnp.dot(
+            h2, w2, preferred_element_type=jnp.float32
+        ).astype(dtype).reshape(B, H, W, dbp.N_TAPS, dbp.GROWTH)
+        partp = jnp.pad(part, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        acc = jnp.zeros((B, H, W, dbp.GROWTH), jnp.float32)
+        for tap in range(dbp.N_TAPS):
+            dy, dx = divmod(tap, 3)
+            acc = acc + partp[
+                :, dy : dy + H, dx : dx + W, tap, :
+            ].astype(jnp.float32)
+        return acc.astype(dtype), {"norm1": n1, "norm2": n2}
     new = jax.lax.conv_general_dilated(
         h2, p["conv2"]["kernel"].astype(dtype),
         window_strides=(1, 1), padding=[(1, 1), (1, 1)],
@@ -470,7 +493,7 @@ def _dense_layer_train(p: dict, s: dict, segs: list, dtype=jnp.bfloat16):
 
 
 def trunk_features_train(tp: dict, ts: dict, x: jax.Array,
-                         dtype=jnp.bfloat16):
+                         dtype=jnp.bfloat16, conv2: str = "conv"):
     """DenseNet-121 `.features` train-mode forward (batch BN), grouped
     prefix: (B, S, S, 3) -> ((B, S/32, S/32, 1024), new_batch_stats)."""
     new_ts: dict = {}
@@ -497,7 +520,9 @@ def trunk_features_train(tp: dict, ts: dict, x: jax.Array,
         bstats: dict = {}
         pend_c = segs[-1].shape[-1] % GROUP
         for n in names:
-            new, bstats[n] = _dense_layer_train(bp[n], bs[n], segs, dtype)
+            new, bstats[n] = _dense_layer_train(
+                bp[n], bs[n], segs, dtype, conv2
+            )
             new = new.astype(dtype)
             if pend_c == 0:
                 segs.append(new)
@@ -574,7 +599,7 @@ def score_train(
     params: dict, stats: dict, scene_img: jax.Array, mask_imgs: jax.Array,
     num_out: int,
     *, trunk_key: str = "grasp_trunk", head_key: str = "grasp_head",
-    dtype=jnp.bfloat16,
+    dtype=jnp.bfloat16, conv2: str = "conv",
 ):
     """Train-mode AffordanceNet.score (affordance.py:141-149): two
     separate trunk passes (the reference's per-stream BN statistics),
@@ -588,8 +613,8 @@ def score_train(
     B, M = mask_imgs.shape[0], mask_imgs.shape[1]
     mask_flat = mask_imgs.reshape((B * M,) + mask_imgs.shape[2:])
     tp, ts = params[trunk_key], stats[trunk_key]
-    scene_feat, ts1 = trunk_features_train(tp, ts, scene_img, dtype)
-    mask_feat, ts2 = trunk_features_train(tp, ts1, mask_flat, dtype)
+    scene_feat, ts1 = trunk_features_train(tp, ts, scene_img, dtype, conv2)
+    mask_feat, ts2 = trunk_features_train(tp, ts1, mask_flat, dtype, conv2)
     h, w, c = scene_feat.shape[1:]
     scene_rep = jnp.broadcast_to(
         scene_feat[:, None], (B, M, h, w, c)
