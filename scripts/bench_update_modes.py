@@ -1,0 +1,79 @@
+"""Update-step bench matrix: fast_train off/on x conv2 conv/taps.
+
+Times the remat'd batch-32 train-mode update (fwd + bwd + Adam) for the
+Flax path vs the grouped-prefix train forward, so the fast_train default
+can be flipped on evidence. One JSON line per mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from smg_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from smg_tpu.models.affordance import ModelConfig
+from smg_tpu.train.trainer import Experience, TrainConfig, Trainer
+
+
+def bench(fast_train: str, conv2: str, batch: int = 32):
+    cfg = TrainConfig(
+        model=ModelConfig(method="reinforcement", trunk="densenet121",
+                          input_size=224),
+        method="reinforcement", scene_chunk=min(batch, 8),
+        fast_train=fast_train,
+    )
+    if conv2 != "conv":
+        import smg_tpu.models.fast_trunk as ft
+        import functools
+
+        orig = ft.score_train
+        ft.score_train = functools.partial(orig, conv2=conv2)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    exp = Experience(
+        scene_depth=jax.random.uniform(k1, (batch, 224, 224)) * 0.1,
+        exec_mask=jax.random.uniform(k2, (batch, 224, 224)) > 0.7,
+        style=jax.random.randint(k3, (batch,), 0, 3),
+        valid=jnp.ones((batch,), bool),
+    )
+    labels = jnp.zeros((batch,), jnp.float32)
+    step = jax.jit(lambda s: trainer.update(s, exp, labels))
+    t0 = time.time()
+    state2, _ = step(state)
+    jax.block_until_ready(state2.params)
+    compile_s = time.time() - t0
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state2, loss = step(state2)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / n
+    if conv2 != "conv":
+        ft.score_train = orig
+    print(json.dumps({
+        "fast_train": fast_train, "conv2": conv2, "batch": batch,
+        "update_ms": round(dt * 1e3, 1), "compile_s": round(compile_s, 1),
+        "loss": float(loss),
+    }))
+
+
+def main() -> None:
+    print("backend:", jax.default_backend())
+    bench("off", "conv")
+    bench("on", "conv")
+    bench("on", "taps")
+
+
+if __name__ == "__main__":
+    main()
