@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from smg_tpu.models.densenet import make_trunk
+from smg_tpu.models.densenet import BN_MOMENTUM, make_trunk
 
 # Depth normalization (reference trainer.py:176-185 intended mean/std; the
 # ancestor VPG codebase used std = 0.03 for depth channels).
@@ -82,14 +82,14 @@ class AffordanceHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         h = nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, name="norm0"
+            momentum=BN_MOMENTUM, use_running_average=not train, dtype=self.dtype, name="norm0"
         )(x)
         h = nn.relu(h)
         h = nn.Conv(
             64, (1, 1), use_bias=False, dtype=self.dtype, name="conv0"
         )(h)
         h = nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, name="norm1"
+            momentum=BN_MOMENTUM, use_running_average=not train, dtype=self.dtype, name="norm1"
         )(h)
         h = nn.relu(h).astype(self.dtype)
         h = nn.Conv(

@@ -21,6 +21,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 # DenseNet-121 configuration (torchvision parity).
+# BatchNorm running averages: torch updates ra = (1 - m_t) * ra + m_t *
+# batch with m_t = 0.1 (torchvision default); the flax momentum is the
+# retention factor, so 0.9 here == the reference's update speed (the
+# flax default 0.99 adapted 10x slower — PARITY.md).
+BN_MOMENTUM = 0.9
 GROWTH_RATE = 32
 BLOCK_CONFIG = (6, 12, 24, 16)
 NUM_INIT_FEATURES = 64
@@ -35,7 +40,7 @@ class DenseLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         h = nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, name="norm1"
+            momentum=BN_MOMENTUM, use_running_average=not train, dtype=self.dtype, name="norm1"
         )(x)
         h = nn.relu(h)
         h = nn.Conv(
@@ -43,7 +48,7 @@ class DenseLayer(nn.Module):
             dtype=self.dtype, name="conv1",
         )(h)
         h = nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, name="norm2"
+            momentum=BN_MOMENTUM, use_running_average=not train, dtype=self.dtype, name="norm2"
         )(h)
         h = nn.relu(h)
         h = nn.Conv(
@@ -76,7 +81,7 @@ class Transition(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, name="norm"
+            momentum=BN_MOMENTUM, use_running_average=not train, dtype=self.dtype, name="norm"
         )(x)
         x = nn.relu(x)
         x = nn.Conv(
@@ -104,7 +109,7 @@ class DenseNetTrunk(nn.Module):
             use_bias=False, dtype=self.dtype, name="conv0",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, name="norm0"
+            momentum=BN_MOMENTUM, use_running_average=not train, dtype=self.dtype, name="norm0"
         )(x)
         x = nn.relu(x).astype(self.dtype)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -122,7 +127,7 @@ class DenseNetTrunk(nn.Module):
                     num_features, self.dtype, name=f"transition{i + 1}"
                 )(x, train)
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, name="norm5"
+            momentum=BN_MOMENTUM, use_running_average=not train, dtype=self.dtype, name="norm5"
         )(x)
         return x
 
@@ -146,7 +151,7 @@ class TinyTrunk(nn.Module):
                 dtype=self.dtype, name=f"conv{i}",
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, dtype=self.dtype,
+                momentum=BN_MOMENTUM, use_running_average=not train, dtype=self.dtype,
                 name=f"norm{i}",
             )(x)
             x = nn.relu(x).astype(self.dtype)

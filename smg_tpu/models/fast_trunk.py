@@ -405,11 +405,13 @@ def trunk_features_eval(
 # — and autodiff doubles them (concat backward = slices). This is the
 # same no-concat restructure as the eval path, but BN computes batch
 # statistics (flax.linen.BatchNorm semantics: f32 stats over (N, H, W),
-# biased variance, running average ra = m*ra + (1-m)*stat, m = 0.99) and
+# biased variance, running average ra = m*ra + (1-m)*stat, m = 0.9 =
+# the torch-parity speed) and
 # everything stays plain differentiable jnp. Parity + grad equivalence:
 # tests/test_fast_trunk.py::test_score_train_*.
 
-BN_MOMENTUM = 0.99
+from smg_tpu.models.densenet import BN_MOMENTUM  # noqa: E402 (0.9 = torch 0.1)
+
 BN_EPS = 1e-5
 
 
