@@ -325,8 +325,13 @@ def _transition_xla(tp: dict, ts: dict, segs: list, conv2: str = "taps",
 
 
 def default_backend() -> str:
-    """Trace-time choice: the fused conv2 kernel on TPU, XLA elsewhere."""
-    return "xla_pk" if jax.default_backend() == "tpu" else "xla_conv"
+    """Trace-time choice: fully-fused dense layers on TPU, XLA elsewhere.
+
+    Measured at the 640/17 parity shape on one v5e (logs/tpu_queue_r3):
+    xla_fl 20.6 ms vs xla_pk 27.1 ms vs Flax apply 47.2 ms; at 224/65
+    xla_fl 12.0 ms vs xla_pk 13.4 ms vs 22.3 ms.
+    """
+    return "xla_fl" if jax.default_backend() == "tpu" else "xla_conv"
 
 
 def trunk_features_eval(

@@ -62,15 +62,18 @@ class TrainConfig:
     is_ets: bool = False
     scene_chunk: int = 4                 # scenes scored per model call
     # Eval-mode forward implementation: 'auto' uses the fast trunk
-    # (models/fast_trunk.py — grouped-prefix blocks + the fused conv2/
-    # transition/stem Pallas kernels, 1.6x the Flax apply at the 640
-    # parity shape) on TPU for the DenseNet trunk, and the Flax/XLA
-    # path elsewhere (CPU tests, tiny trunks, train mode). 'on'/'off'
-    # force it.
+    # (models/fast_trunk.py — fully-fused dense-layer Pallas kernels,
+    # 2.3x the Flax apply at the 640 parity shape, 1.9x at 224/65) on
+    # TPU for the DenseNet trunk, and the Flax/XLA path elsewhere (CPU
+    # tests, tiny trunks, train mode). 'on'/'off' force it.
     fast_eval: str = "auto"
-    # Train-mode (update gradient pass) forward implementation: 'auto'
-    # uses the grouped-prefix batch-BN forward (fast_trunk.score_train)
-    # on TPU for the DenseNet trunk. 'on'/'off' force it.
+    # Train-mode (update gradient pass) forward implementation: 'on'
+    # forces the grouped-prefix batch-BN forward (fast_trunk.score_train).
+    # Measured on one v5e at batch 32 (scripts/bench_update_modes.py,
+    # logs/tpu_queue_r3): the Flax path's update is FASTER (197.9 ms vs
+    # 222.8 'on'/conv and 266.4 'on'/taps — autodiff through the grouped
+    # dots/slices costs more than XLA's fused conv backward), so 'auto'
+    # resolves to off everywhere.
     fast_train: str = "auto"
 
 
@@ -500,17 +503,12 @@ class Trainer:
 
     @property
     def _use_fast_train(self) -> bool:
-        """Grouped-prefix train-mode forward (fast_trunk.score_train):
-        the same no-concat restructure as the eval path with batch-BN,
-        plain differentiable jnp — cuts the update's concat traffic in
-        forward AND backward."""
-        if self.cfg.fast_train == "on":
-            return True
-        return (
-            self.cfg.fast_train == "auto"
-            and self.cfg.model.trunk == "densenet121"
-            and jax.default_backend() == "tpu"
-        )
+        """Grouped-prefix train-mode forward (fast_trunk.score_train).
+
+        Opt-in only: measured slower than the Flax update on TPU at
+        batch 32 (see the fast_train field comment), so 'auto' is off.
+        """
+        return self.cfg.fast_train == "on"
 
     def _style_chunks(self, arrays: tuple, styles: jax.Array):
         """Sort per-scene arrays by style and reshape to (n_chunks, C, ...).
