@@ -171,12 +171,12 @@ def bench_update(batch_size: int = 32):
         cost = cost[0]
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
     state2, _ = step(state)
-    jax.block_until_ready(state2.params)
+    jax.block_until_ready(state2)
     n_calls = 5
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state2, loss = step(state2)
-    jax.block_until_ready(loss)
+    jax.block_until_ready((state2, loss))
     dt = (time.perf_counter() - t0) / n_calls
     tflops = flops / dt / 1e12 if flops else 0.0
     return tflops, tflops * 1e12 / _peak(), dt
@@ -199,7 +199,7 @@ def bench_train_step(batch_size: int = 8):
         TrainConfig(
             model=ModelConfig(method="reinforcement", trunk="densenet121",
                               input_size=224),
-            method="reinforcement", scene_chunk=batch_size,
+            method="reinforcement", scene_chunk=min(batch_size, 8),
         )
     )
     state = init_loop(jax.random.PRNGKey(0), trainer, cfg)
@@ -208,12 +208,16 @@ def bench_train_step(batch_size: int = 8):
     # Warmup: compile + reach the steady-state cache (2 calls).
     state, m = step(state)
     state, m = step(state)
-    jax.block_until_ready(m.loss)
+    jax.block_until_ready((state, m))
     n_calls = 5
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, m = step(state)
-    jax.block_until_ready(m.loss)
+    # Block on the FULL output tree: on this platform blocking one leaf
+    # (m.loss) returns before the rest of the program's outputs land,
+    # under-reporting multi-hundred-ms steps ~10x (verified against the
+    # profiler's device self time, scripts/profile_step.py).
+    jax.block_until_ready((state, m))
     dt = (time.perf_counter() - t0) / n_calls
     return batch_size / dt, dt
 
@@ -228,6 +232,17 @@ def main() -> None:
     _progress(f"model 640 done {time.time() - t0:.0f}s")
     scenes_per_sec, step_dt = bench_train_step()
     _progress(f"train_step done {time.time() - t0:.0f}s")
+    # Train-step scaling curve toward the >=1024-scene north star
+    # (VERDICT r2 missing #5): same construction as
+    # scripts/bench_batch_sweep.py so compiles share the persistent cache.
+    scaling = {}
+    for b in (32, 128):
+        try:
+            sps_b, _ = bench_train_step(b)
+            scaling[f"train_step_scenes_per_sec_b{b}"] = round(sps_b, 2)
+        except Exception as e:  # OOM at the top end is a result, not a bug
+            scaling[f"train_step_scenes_per_sec_b{b}"] = f"FAILED:{type(e).__name__}"
+        _progress(f"train_step b{b} done {time.time() - t0:.0f}s")
     up_tflops, up_mfu, up_dt = bench_update()
     _progress(f"update done {time.time() - t0:.0f}s")
     baseline = 10_000.0  # BASELINE.json: >=10k physics steps/sec/chip
@@ -247,6 +262,7 @@ def main() -> None:
                     "model_score_ms_640_b17": round(dt640 * 1e3, 2),
                     "train_step_scenes_per_sec": round(scenes_per_sec, 2),
                     "train_step_ms_b8": round(step_dt * 1e3, 1),
+                    **scaling,
                     "update_tflops_b32": round(up_tflops, 1),
                     "update_mfu_b32": round(up_mfu, 3),
                     "update_ms_b32": round(up_dt * 1e3, 1),

@@ -32,6 +32,8 @@ from smg_tpu.train.trainer import TrainConfig, Trainer
 
 
 def bench(batch_size: int, n_calls: int = 5):
+    import jax.numpy as jnp
+
     cfg = LoopConfig(
         env=EnvConfig(is_pe=True, is_oo=True, method="reinforcement"),
         batch_size=batch_size,
@@ -46,15 +48,26 @@ def bench(batch_size: int, n_calls: int = 5):
     t0 = time.perf_counter()
     state = init_loop(jax.random.PRNGKey(0), trainer, cfg)
     step = jax.jit(functools.partial(train_step, trainer, cfg))
+    p0 = state.trainer.params["grasp_trunk"]["conv0"]["kernel"]
     state, m = step(state)
     state, m = step(state)
-    jax.block_until_ready(m.loss)
+    jax.block_until_ready((state, m))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, m = step(state)
-    jax.block_until_ready(m.loss)
+    # Block on the FULL output tree: blocking one leaf (m.loss) returns
+    # before the rest of the program lands on this platform and
+    # under-reports the step ~10x (cross-checked vs profile_step.py
+    # device self time).
+    jax.block_until_ready((state, m))
     dt = (time.perf_counter() - t0) / n_calls
+    # Liveness cross-check: the update really moved the online params.
+    pd = float(jnp.abs(
+        state.trainer.params["grasp_trunk"]["conv0"]["kernel"] - p0
+    ).max())
+    print(f"  [check] loss={float(m.loss):.4f} param_delta={pd:.2e} "
+          f"iteration={int(state.trainer.iteration)}")
     return batch_size / dt, dt, compile_s
 
 
