@@ -33,27 +33,44 @@ for variant in cold warm; do
   [ "$variant" = warm ] && extra="--pretrained_trunks $PRE"
   dir="$OUT/eses_drl_lc_$variant"
   mkdir -p "$dir"
-  echo "=== train eses_drl_lc ($variant) ==="
-  timeout "${RUN_TIMEOUT:-5400}" \
-    python -m smg_tpu.cli.main --is_sim $FLAGS $COMMON $extra \
-    --training_episode "$TRAIN_EP" --logging_directory "$dir" \
-    > "$dir/train.log" 2>&1
-  tail -3 "$dir/train.log"
+  # Idempotent: reuse a completed train run (has a model snapshot).
+  done_run=""
+  for d in $(ls -dt "$dir"/*/ 2>/dev/null); do
+    [ -d "$d/models/snapshot" ] && { done_run="$d"; break; }
+  done
+  if [ -n "$done_run" ]; then
+    echo "=== train eses_drl_lc ($variant): reusing $done_run ==="
+  else
+    echo "=== train eses_drl_lc ($variant) ==="
+    timeout "${RUN_TIMEOUT:-5400}" \
+      python -m smg_tpu.cli.main --is_sim $FLAGS $COMMON $extra \
+      --training_episode "$TRAIN_EP" --logging_directory "$dir" \
+      > "$dir/train.log" 2>&1
+    tail -3 "$dir/train.log"
+  fi
   run_dir=$(ls -dt "$dir"/*/ | head -1)
   RUNS+=("${run_dir%/}")
   LABELS+=("eses_drl_lc_$variant-train")
   snap="${run_dir%/}/models/snapshot"
   if [ -d "$snap" ]; then
-    echo "=== test eses_drl_lc ($variant) ==="
     testdir="$OUT/eses_drl_lc_${variant}_test"
     mkdir -p "$testdir"
-    timeout "${RUN_TIMEOUT:-5400}" \
-      python -m smg_tpu.cli.main --is_sim $FLAGS $COMMON \
-      --is_testing --load_snapshot --snapshot_file "$snap" \
-      --obj_mesh_dir datasets/testing \
-      --testing_episode "$TEST_EP" --logging_directory "$testdir" \
-      > "$testdir/test.log" 2>&1
-    tail -3 "$testdir/test.log"
+    done_test=""
+    for d in $(ls -dt "$testdir"/*/ 2>/dev/null); do
+      [ -s "$d/transitions/reward-value.log.txt" ] && { done_test="$d"; break; }
+    done
+    if [ -n "$done_test" ]; then
+      echo "=== test eses_drl_lc ($variant): reusing $done_test ==="
+    else
+      echo "=== test eses_drl_lc ($variant) ==="
+      timeout "${RUN_TIMEOUT:-5400}" \
+        python -m smg_tpu.cli.main --is_sim $FLAGS $COMMON \
+        --is_testing --load_snapshot --snapshot_file "$snap" \
+        --obj_mesh_dir datasets/testing \
+        --testing_episode "$TEST_EP" --logging_directory "$testdir" \
+        > "$testdir/test.log" 2>&1
+      tail -3 "$testdir/test.log"
+    fi
     test_run=$(ls -dt "$testdir"/*/ | head -1)
     RUNS+=("${test_run%/}")
     LABELS+=("eses_drl_lc_$variant-test")

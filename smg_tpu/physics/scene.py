@@ -127,7 +127,9 @@ def spawn_objects(key: jax.Array, is_cluttered: bool = False,
 
     # Stable slot -> color mapping: slot identity must be inferable from
     # appearance for the learned fixed-slot segmenter to be well-posed.
-    color = _COLORS
+    # (jnp conversion here: numpy constants indexed by traced ids inside
+    # vmap raise TracerArrayConversionError, e.g. ortho.render_heightmap.)
+    color = jnp.asarray(_COLORS)
 
     base = Objects.empty(N_SLOTS)
     return base.replace(

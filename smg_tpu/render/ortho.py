@@ -93,7 +93,7 @@ def render_heightmap(obj: Objects, resolution: int = 224):
     depth = jnp.where(hit, best_h, 0.0).reshape(H, W)
     ids = jnp.where(hit, best, -1).reshape(H, W).astype(jnp.int32)
     color = jnp.where(
-        hit[:, None], obj.color[best], TABLE_COLOR[None, :]
+        hit[:, None], jnp.asarray(obj.color)[best], TABLE_COLOR[None, :]
     ).reshape(H, W, 3)
     return depth, ids, color
 
