@@ -46,8 +46,34 @@ GROWTH = 32
 N_TAPS = 9
 
 
+def _place(acc: jax.Array, off: int, place: str) -> jax.Array:
+    """Land a (1, cr, W, 32) f32 tap accumulation at lanes
+    [off, off + 32) of a 128-lane vector (zeros elsewhere).
+
+    'dot': one-hot selection matmul — an executed (M, 128) @ (128, 128)
+    MXU pass per chunk (K = 32 pads to the full tile).
+    'roll': bf16 lane-pad + static circular lane shift — pure VPU,
+    freeing the MXU for the conv2/bottleneck dots.
+    """
+    cr, W = acc.shape[1], acc.shape[2]
+    if place == "roll":
+        padded = jnp.pad(
+            acc.astype(jnp.bfloat16),
+            ((0, 0), (0, 0), (0, 0), (0, LANE - GROWTH)),
+        )
+        return padded if off == 0 else pltpu.roll(padded, shift=off, axis=3)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 0) + off
+    ).astype(jnp.bfloat16)
+    return jnp.dot(
+        acc.astype(jnp.bfloat16).reshape(cr * W, GROWTH), sel,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16).reshape(1, cr, W, LANE)
+
+
 def _kernel(*refs, G: int, Ht: int, W: int, TY: int, chunk: int, Wi: int,
-            merge_off: int, has_pend: bool):
+            merge_off: int, has_pend: bool, place: str):
     g_refs = refs[:G]
     halo_ref, a1_ref, b1_ref, w1_ref, a2_ref, b2_ref, w2_ref = refs[G : G + 7]
     out_ref = refs[G + 7]
@@ -107,14 +133,6 @@ def _kernel(*refs, G: int, Ht: int, W: int, TY: int, chunk: int, Wi: int,
         if TY > 1 else zrow
     )
 
-    # One-hot placement of the 32 output channels at the group offset
-    # (no lane relayout; also zero-fills the other lanes of a fresh group).
-    sel = (
-        jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 1)
-        == jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 0)
-        + merge_off
-    ).astype(jnp.bfloat16)
-
     for r0 in range(0, Ht, chunk):
         r1 = min(r0 + chunk, Ht)
         cr = r1 - r0
@@ -135,10 +153,7 @@ def _kernel(*refs, G: int, Ht: int, W: int, TY: int, chunk: int, Wi: int,
             dy, dx = divmod(tap, 3)
             sl = part[:, dy : dy + cr, :, GROWTH * tap : GROWTH * (tap + 1)]
             acc = acc + _col_shift(sl, dx, W)
-        placed = jnp.dot(
-            acc.astype(jnp.bfloat16).reshape(cr * W, GROWTH), sel,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16).reshape(1, cr, W, LANE)
+        placed = _place(acc, merge_off, place)
         if has_pend:
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANE), 3)
             keep = (lane < merge_off) | (lane >= merge_off + GROWTH)
@@ -148,7 +163,7 @@ def _kernel(*refs, G: int, Ht: int, W: int, TY: int, chunk: int, Wi: int,
 
 def _kernel_multi(*refs, Gc: int, K: int, Ht: int, W: int, TY: int,
                   H_img: int, chunk: int, Wi: int, pend_n: int,
-                  has_pend: bool):
+                  has_pend: bool, place: str):
     """K consecutive dense layers in one pass: the prefix groups are read
     from HBM once for all K layers; the group being built lives in a VMEM
     scratch and is written back once. Each call completes exactly one
@@ -255,10 +270,6 @@ def _kernel_multi(*refs, Gc: int, K: int, Ht: int, W: int, TY: int,
             )
             return jnp.where((img >= 0) & (img < H_img), h, 0)
 
-        sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 1)
-            == jax.lax.broadcasted_iota(jnp.int32, (GROWTH, LANE), 0) + off
-        ).astype(jnp.bfloat16)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANE), 3)
         keep = (lane < off) | (lane >= off + GROWTH)
         eo = K - 1 - l if pad else 0        # output extent beyond the band
@@ -287,10 +298,7 @@ def _kernel_multi(*refs, Gc: int, K: int, Ht: int, W: int, TY: int,
                     :, dy : dy + cr, :, GROWTH * tap : GROWTH * (tap + 1)
                 ]
                 acc = acc + _col_shift(sl, dx, W)
-            placed = jnp.dot(
-                acc.astype(jnp.bfloat16).reshape(cr * W, GROWTH), sel,
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16).reshape(1, cr, W, LANE)
+            placed = _place(acc, off, place)
             newg[:, r0:r1] = jnp.where(keep, newg[:, r0:r1], placed)
     out_ref[:] = newg[:, pad : pad + Ht]
 
@@ -344,8 +352,19 @@ def _build_halo(pieces: list, B: int, TY: int, Ht: int, W: int) -> jax.Array:
     return jnp.concatenate(cols, axis=-1)
 
 
+import os
+
+# Measured knobs (overridable per call): output placement scheme and the
+# row-chunk size of the in-kernel loops. Env defaults let the bench
+# matrix sweep them without code edits.
+DEFAULT_PLACE = os.environ.get("SMG_FL_PLACE", "dot")
+DEFAULT_CHUNK = int(os.environ.get("SMG_FL_CHUNK", "8"))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("pend_n", "Wi", "interpret", "force_ty")
+    jax.jit,
+    static_argnames=("pend_n", "Wi", "interpret", "force_ty", "place",
+                     "chunk"),
 )
 def dense_layer_fused(
     pieces: tuple,        # G x (B, H, W, 128) bf16; last = pending buffer
@@ -359,6 +378,7 @@ def dense_layer_fused(
     pend_n: int,          # valid lanes of the pending piece (0: fresh group)
     Wi: int,              # valid width (W - Wi pad columns are masked)
     *, interpret: bool = False, force_ty: int | None = None,
+    place: str | None = None, chunk: int | None = None,
 ) -> jax.Array:
     """One dense layer over the grouped prefix; returns the (B, H, W, 128)
     group buffer with this layer's 32 channels at lanes
@@ -372,8 +392,10 @@ def dense_layer_fused(
     pieces = tuple(x.astype(jnp.bfloat16) for x in pieces)
     halo = _build_halo(list(pieces), B, TY, Ht, W)
     kern = functools.partial(
-        _kernel, G=G, Ht=Ht, W=W, TY=TY, chunk=min(8, Ht), Wi=Wi,
+        _kernel, G=G, Ht=Ht, W=W, TY=TY,
+        chunk=min(chunk or DEFAULT_CHUNK, Ht), Wi=Wi,
         merge_off=pend_n, has_pend=pend_n > 0,
+        place=place or DEFAULT_PLACE,
     )
     band_spec = pl.BlockSpec(
         (1, Ht, W, LANE), lambda s, t: (s, t, 0, 0),
@@ -421,7 +443,9 @@ def _build_halo_k(pieces: list, B: int, TY: int, Ht: int, W: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pend_n", "Wi", "interpret", "force_ty")
+    jax.jit,
+    static_argnames=("pend_n", "Wi", "interpret", "force_ty", "place",
+                     "chunk"),
 )
 def dense_layers_fused(
     pieces: tuple,        # Gc complete groups [+ pend when pend_n > 0]
@@ -434,6 +458,7 @@ def dense_layers_fused(
     pend_n: int,
     Wi: int,
     *, interpret: bool = False, force_ty: int | None = None,
+    place: str | None = None, chunk: int | None = None,
 ) -> jax.Array:
     """K = (128 - pend_n)/32 consecutive dense layers in one kernel call;
     returns the completed (B, H, W, 128) group."""
@@ -451,7 +476,8 @@ def dense_layers_fused(
     halo = _build_halo_k(list(pieces), B, TY, Ht, W, max(pad, 1))
     kern = functools.partial(
         _kernel_multi, Gc=Gc, K=K, Ht=Ht, W=W, TY=TY, H_img=H,
-        chunk=min(8, Ht), Wi=Wi, pend_n=pend_n, has_pend=has_pend,
+        chunk=min(chunk or DEFAULT_CHUNK, Ht), Wi=Wi, pend_n=pend_n,
+        has_pend=has_pend, place=place or DEFAULT_PLACE,
     )
     band_spec = pl.BlockSpec(
         (1, Ht, W, LANE), lambda s, t: (s, t, 0, 0),
@@ -523,7 +549,9 @@ def pack_layer(p: dict, s: dict, C_valid: int, G: int):
 
 
 def dense_block_fused(bp: dict, bs: dict, segs: list, names: list,
-                      *, interpret: bool = False) -> list:
+                      *, interpret: bool = False,
+                      place: str | None = None,
+                      chunk: int | None = None) -> list:
     """Run a whole dense block through the fused layer kernel.
 
     segs: completed 128-channel groups plus an optional partial tail
@@ -551,7 +579,8 @@ def dense_block_fused(bp: dict, bs: dict, segs: list, names: list,
             C0 = LANE * Gc + pend_n
             ops = pack_layers(bp, bs, names[i : i + K], C0, (Gc + 1) * LANE)
             out = dense_layers_fused(
-                tuple(segs), *ops, pend_n=pend_n, Wi=Wi, interpret=interpret
+                tuple(segs), *ops, pend_n=pend_n, Wi=Wi, interpret=interpret,
+                place=place, chunk=chunk,
             )
             if pend_n:
                 segs[-1] = out
@@ -564,7 +593,8 @@ def dense_block_fused(bp: dict, bs: dict, segs: list, names: list,
         C_valid = LANE * Gc + pend_n if pend_n else LANE * G
         ops = pack_layer(bp[n], bs[n], C_valid, G)
         out = dense_layer_fused(
-            tuple(segs), *ops, pend_n=pend_n, Wi=Wi, interpret=interpret
+            tuple(segs), *ops, pend_n=pend_n, Wi=Wi, interpret=interpret,
+            place=place, chunk=chunk,
         )
         if pend_n:
             segs[-1] = out

@@ -80,6 +80,21 @@ def test_dense_layer_fused(G, pend_n, ty):
     _check(got, want)
 
 
+@pytest.mark.parametrize("place,chunk", [("roll", None), ("dot", 4)])
+def test_dense_layer_fused_variants(place, chunk):
+    """The measured kernel knobs (placement scheme, row chunk) are
+    bit-compatible with the default configuration."""
+    G, pend_n, ty = 3, 96, 1
+    pieces, ops, want = _layer_case(
+        jax.random.PRNGKey(G * 10 + pend_n), 2, 8, 16, G, pend_n
+    )
+    got = dlp.dense_layer_fused(
+        tuple(pieces), *ops, pend_n=pend_n, Wi=16,
+        interpret=True, force_ty=ty, place=place, chunk=chunk,
+    )
+    _check(got, want)
+
+
 def test_dense_layer_fused_unaligned_width():
     """Pad columns must behave as conv zero padding (Wi < W)."""
     B, H, Wi, W = 1, 8, 12, 16
@@ -202,6 +217,12 @@ def test_dense_layers_fused_multi_banded(Gc, pend_n, ty):
         force_ty=ty,
     )
     _check(got, want, tol=0.02)
+    # Variant knobs agree with the default configuration too.
+    got_roll = dlp.dense_layers_fused(
+        tuple(pieces), *ops, pend_n=pend_n, Wi=W, interpret=True,
+        force_ty=ty, place="roll", chunk=4,
+    )
+    _check(got_roll, want, tol=0.02)
 
 
 @pytest.mark.parametrize("Gc,pend_n", [(1, 0), (2, 64), (1, 96)])
