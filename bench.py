@@ -236,7 +236,7 @@ def main() -> None:
     # (VERDICT r2 missing #5): same construction as
     # scripts/bench_batch_sweep.py so compiles share the persistent cache.
     scaling = {}
-    for b in (32, 128):
+    for b in (32, 128, 256):
         try:
             sps_b, _ = bench_train_step(b)
             scaling[f"train_step_scenes_per_sec_b{b}"] = round(sps_b, 2)
