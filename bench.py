@@ -12,16 +12,27 @@ Measures, on one chip:
    the reference-parity 640, reported as TFLOP/s and MFU against the
    chip's bf16 peak (FLOPs from XLA's compiled cost analysis);
 3. train_step: the full sense->score->label->update->execute loop step
-   (DenseNet-121 @ 224, 8 scenes), as scenes/second.
+   (DenseNet-121 @ 224) at 256 parallel scenes, as scenes/second;
+4. update: the train-mode fwd+bwd+Adam step at batch 32, as MFU.
 
 Prints exactly ONE JSON line; the headline metric keeps the round-1
 physics contract, the model/train numbers ride in "extra".
+
+Budget discipline (round-3's run was killed by the driver before the
+JSON line printed — VERDICT r3 weak #1): a watchdog thread prints the
+partial result and exits at SMG_BENCH_BUDGET seconds (default 900), so
+the line always lands even if a cold XLA compile eats the budget.
+The full measurement matrix (batch 32/128/512/1024 scaling, model 224)
+moved behind --full for the tpu queue; the default run is the four
+legs above, cheapest-first.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import jax
@@ -30,6 +41,33 @@ import jax.numpy as jnp
 from smg_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
+
+# Shared result dict: legs fill it in as they complete; the watchdog (or
+# the normal exit path) serializes whatever is present.
+_RESULT: dict = {
+    "metric": "physics_scene_steps_per_sec_at_1024_scenes",
+    "value": 0.0,
+    "unit": "scene-steps/s/chip",
+    "vs_baseline": 0.0,
+    "extra": {},
+}
+_PRINTED = threading.Lock()
+
+
+def _emit(partial: bool = False) -> None:
+    """Print the single JSON line exactly once."""
+    if not _PRINTED.acquire(blocking=False):
+        return
+    if partial:
+        _RESULT["extra"]["partial"] = True
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _watchdog(budget: float) -> None:
+    time.sleep(budget)
+    _progress(f"watchdog fired at {budget:.0f}s — emitting partial result")
+    _emit(partial=True)
+    os._exit(0)
 
 
 def _progress(msg: str) -> None:
@@ -52,14 +90,31 @@ def _peak() -> float:
     return 197e12
 
 
+def _readback(out) -> None:
+    """Force a device->host transfer that depends on `out`.
+
+    jax.block_until_ready on this platform (axon tunnel) can return
+    before execution completes — round 3's physics leg "measured"
+    776M scene-steps/s that way (400x reality; verified by checksum).
+    Transferring one element of the first few leaves can only happen
+    after the producing program actually ran, so every timed loop here
+    ends with this instead. Costs ~1-3 ms (two tiny slice dispatches),
+    amortized over the loop's n_calls.
+    """
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves[:2]:
+        float(jnp.asarray(leaf).ravel()[0])
+
+
 def _timeit(fn, *args, n_calls: int = 10, warmup: int = 2):
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)  # drain the queue before the timed region
     t0 = time.perf_counter()
     for _ in range(n_calls):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     return (time.perf_counter() - t0) / n_calls
 
 
@@ -78,14 +133,54 @@ def bench_physics() -> float:
         lambda b: stepper.run_steps_batched(b, b.gripper, steps_per_call)
     )
     # Self-feeding rollout: time with the output as the next input.
-    batch = jax.block_until_ready(roll(batch))
-    n_calls = 10
+    batch = roll(batch)
+    _readback(batch)  # drain the queue (block_until_ready returns early
+    n_calls = 10      # on this platform — see _readback)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         batch = roll(batch)
-    jax.block_until_ready(batch)
+    _readback(batch)
     dt = time.perf_counter() - t0
     return n_calls * steps_per_call * B / dt
+
+
+def score_flops(input_size: int, streams: int, num_out: int = 1) -> float:
+    """Analytic FLOP count of the two-stream DenseNet-121 score.
+
+    Matmul/conv MACs x2 plus the BN/ReLU/pool elementwise ops for the
+    (1 + streams)-image trunk batch and the streams-wide head — the
+    arithmetic the Flax apply and the fast trunk share. Cross-checked
+    against XLA's compiled cost analysis of the Flax apply (via
+    BENCH_r02's tflops x ms products): analytic is 2.4% (640/17) to 5%
+    (224/65) LOWER than XLA's count, i.e. the reported MFU is slightly
+    conservative vs rounds 1-3. Counting analytically spares the bench a
+    multi-minute throwaway compile of the Flax path whose ONLY output
+    was this number (the compile that blew round 3's driver budget).
+    """
+    S = input_size
+    imgs = 1 + streams
+    h = w = S // 4              # post-stem feature map
+    C = 64
+    flops = imgs * 2 * (S // 2) ** 2 * 64 * 49 * 3        # conv0 7x7x3
+    flops += imgs * 3 * (S // 2) ** 2 * 64                # stem BN + relu
+    flops += imgs * 9 * h * w * 64                        # 3x3 maxpool
+    for i, L in enumerate((6, 12, 24, 16)):
+        for _ in range(L):
+            flops += imgs * 2 * h * w * C * 128           # 1x1 bottleneck
+            flops += imgs * 2 * h * w * 9 * 128 * 32      # 3x3 conv2
+            flops += imgs * 3 * h * w * (C + 128)         # BN + relu x2
+            C += 32
+        if i < 3:
+            flops += imgs * 2 * (h // 2) * (w // 2) * C * (C // 2)
+            flops += imgs * (3 * h * w * C + 5 * (h // 2) * (w // 2) * C)
+            C //= 2
+            h //= 2
+            w //= 2
+    flops += imgs * 3 * h * w * C                         # norm5 BN + relu
+    flops += streams * 2 * h * w * 2048 * 64              # head 1x1
+    flops += streams * 3 * h * w * (2048 + 64)            # head BN + relu x2
+    flops += streams * 2 * h * w * 64 * num_out           # head global conv
+    return float(flops)
 
 
 def bench_model(input_size: int, streams: int = 64):
@@ -95,18 +190,16 @@ def bench_model(input_size: int, streams: int = 64):
     of a real scoring call (trainer.score_scene batches all object slots
     of a scene chunk into one model call). Times the trainer's actual
     eval path (fast_trunk.score_eval, Trainer._use_fast_eval); FLOPs
-    come from the Flax apply's compiled cost analysis — the math is
-    identical, so one count serves both.
+    from the analytic parity count (see score_flops).
     """
     from smg_tpu.models import affordance as aff
     from smg_tpu.models import fast_trunk
-    from smg_tpu.models.affordance import AffordanceNet, ModelConfig
+    from smg_tpu.models.affordance import ModelConfig
 
     cfg = ModelConfig(
         method="reinforcement", trunk="densenet121", input_size=input_size
     )
     params, stats = aff.init_params(jax.random.PRNGKey(0), cfg)
-    model = AffordanceNet(cfg)
     S = input_size
 
     def fwd(scene_img, mask_imgs):
@@ -114,23 +207,12 @@ def bench_model(input_size: int, streams: int = 64):
             params, stats, scene_img, mask_imgs, cfg.num_out
         )
 
-    def fwd_flax(scene_img, mask_imgs):
-        return model.apply(
-            {"params": params, "batch_stats": stats},
-            scene_img, mask_imgs, 0, False, method=AffordanceNet.score,
-        )
-
     jfwd = jax.jit(fwd)
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     scene = jax.random.normal(k1, (1, S, S, 3), jnp.float32)
     masks = jax.random.normal(k2, (1, streams, S, S, 3), jnp.float32)
 
-    compiled = jax.jit(fwd_flax).lower(scene, masks).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0]
-    flops = float(cost.get("flops", 0.0)) if cost else 0.0
-
+    flops = score_flops(S, streams, cfg.num_out)
     dt = _timeit(jfwd, scene, masks, n_calls=5)
     tflops = flops / dt / 1e12 if flops else 0.0
     return tflops, tflops * 1e12 / _peak(), dt
@@ -165,18 +247,20 @@ def bench_update(batch_size: int = 32):
     )
     labels = jnp.zeros((B,), jnp.float32)
     step = jax.jit(lambda s: trainer.update(s, exp, labels))
+    # AOT-compile once and execute the compiled object: calling the jit
+    # after .lower().compile() would trace + compile a second time.
     compiled = step.lower(state).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
-    state2, _ = step(state)
-    jax.block_until_ready(state2)
+    state2, _ = compiled(state)
+    _readback(state2)
     n_calls = 5
     t0 = time.perf_counter()
     for _ in range(n_calls):
-        state2, loss = step(state2)
-    jax.block_until_ready((state2, loss))
+        state2, loss = compiled(state2)
+    _readback((state2, loss))
     dt = (time.perf_counter() - t0) / n_calls
     tflops = flops / dt / 1e12 if flops else 0.0
     return tflops, tflops * 1e12 / _peak(), dt
@@ -208,68 +292,81 @@ def bench_train_step(batch_size: int = 8):
     # Warmup: compile + reach the steady-state cache (2 calls).
     state, m = step(state)
     state, m = step(state)
-    jax.block_until_ready((state, m))
+    _readback((state, m))
     n_calls = 5
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, m = step(state)
-    # Block on the FULL output tree: on this platform blocking one leaf
-    # (m.loss) returns before the rest of the program's outputs land,
-    # under-reporting multi-hundred-ms steps ~10x (verified against the
-    # profiler's device self time, scripts/profile_step.py).
-    jax.block_until_ready((state, m))
+    # _readback, NOT block_until_ready: blocking one leaf (m.loss)
+    # under-reports multi-hundred-ms steps ~10x, and even blocking the
+    # full output tree early-returns on this platform (the physics leg
+    # "measured" 400x reality that way — see _readback).
+    _readback((state, m))
     dt = (time.perf_counter() - t0) / n_calls
     return batch_size / dt, dt
 
 
 def main() -> None:
+    full = "--full" in sys.argv[1:]
+    budget = float(os.environ.get("SMG_BENCH_BUDGET", "900"))
+    if not full:
+        threading.Thread(
+            target=_watchdog, args=(budget,), daemon=True
+        ).start()
     t0 = time.time()
-    physics = bench_physics()
-    _progress(f"physics done {time.time() - t0:.0f}s")
-    tflops224, mfu224, dt224 = bench_model(224)
-    _progress(f"model 224 done {time.time() - t0:.0f}s")
-    tflops640, mfu640, dt640 = bench_model(640, streams=16)
-    _progress(f"model 640 done {time.time() - t0:.0f}s")
-    scenes_per_sec, step_dt = bench_train_step()
-    _progress(f"train_step done {time.time() - t0:.0f}s")
-    # Train-step scaling curve toward the >=1024-scene north star
-    # (VERDICT r2 missing #5): same construction as
-    # scripts/bench_batch_sweep.py so compiles share the persistent cache.
-    scaling = {}
-    for b in (32, 128, 256):
-        try:
-            sps_b, _ = bench_train_step(b)
-            scaling[f"train_step_scenes_per_sec_b{b}"] = round(sps_b, 2)
-        except Exception as e:  # OOM at the top end is a result, not a bug
-            scaling[f"train_step_scenes_per_sec_b{b}"] = f"FAILED:{type(e).__name__}"
-        _progress(f"train_step b{b} done {time.time() - t0:.0f}s")
-    up_tflops, up_mfu, up_dt = bench_update()
-    _progress(f"update done {time.time() - t0:.0f}s")
+    extra = _RESULT["extra"]
     baseline = 10_000.0  # BASELINE.json: >=10k physics steps/sec/chip
-    print(
-        json.dumps(
-            {
-                "metric": "physics_scene_steps_per_sec_at_1024_scenes",
-                "value": round(physics, 1),
-                "unit": "scene-steps/s/chip",
-                "vs_baseline": round(physics / baseline, 2),
-                "extra": {
-                    "model_score_tflops_224": round(tflops224, 1),
-                    "model_score_mfu_224": round(mfu224, 3),
-                    "model_score_ms_224_b65": round(dt224 * 1e3, 2),
-                    "model_score_tflops_640": round(tflops640, 1),
-                    "model_score_mfu_640": round(mfu640, 3),
-                    "model_score_ms_640_b17": round(dt640 * 1e3, 2),
-                    "train_step_scenes_per_sec": round(scenes_per_sec, 2),
-                    "train_step_ms_b8": round(step_dt * 1e3, 1),
-                    **scaling,
-                    "update_tflops_b32": round(up_tflops, 1),
-                    "update_mfu_b32": round(up_mfu, 3),
-                    "update_ms_b32": round(up_dt * 1e3, 1),
-                },
-            }
-        )
-    )
+
+    # Leg 1 (headline): physics throughput.
+    physics = bench_physics()
+    _RESULT["value"] = round(physics, 1)
+    _RESULT["vs_baseline"] = round(physics / baseline, 2)
+    _progress(f"physics done {time.time() - t0:.0f}s")
+
+    # Leg 2: eval-trunk MFU at the 640 parity shape (VERDICT r3 #1).
+    tflops640, mfu640, dt640 = bench_model(640, streams=16)
+    extra["model_score_tflops_640"] = round(tflops640, 1)
+    extra["model_score_mfu_640"] = round(mfu640, 3)
+    extra["model_score_ms_640_b17"] = round(dt640 * 1e3, 2)
+    _progress(f"model 640 done {time.time() - t0:.0f}s")
+
+    # Leg 3: training update MFU at batch 32 (VERDICT r3 #1).
+    up_tflops, up_mfu, up_dt = bench_update()
+    extra["update_tflops_b32"] = round(up_tflops, 1)
+    extra["update_mfu_b32"] = round(up_mfu, 3)
+    extra["update_ms_b32"] = round(up_dt * 1e3, 1)
+    _progress(f"update done {time.time() - t0:.0f}s")
+
+    # Leg 4: full train-step rate at 256 scenes (VERDICT r3 #1).
+    try:
+        sps256, dt256 = bench_train_step(256)
+        extra["train_step_scenes_per_sec_b256"] = round(sps256, 2)
+        extra["train_step_ms_b256"] = round(dt256 * 1e3, 1)
+    except Exception as e:  # OOM at the top end is a result, not a bug
+        extra["train_step_scenes_per_sec_b256"] = f"FAILED:{type(e).__name__}"
+    _progress(f"train_step b256 done {time.time() - t0:.0f}s")
+
+    # Leg 5: eval-trunk MFU at the training-config 224 shape.
+    tflops224, mfu224, dt224 = bench_model(224)
+    extra["model_score_tflops_224"] = round(tflops224, 1)
+    extra["model_score_mfu_224"] = round(mfu224, 3)
+    extra["model_score_ms_224_b65"] = round(dt224 * 1e3, 2)
+    _progress(f"model 224 done {time.time() - t0:.0f}s")
+
+    if full:
+        # The full scaling matrix for the tpu queue (not driver-run):
+        # batch 8/32/128/512/1024 train-step points around the b256 leg.
+        for b in (8, 32, 128, 512, 1024):
+            try:
+                sps_b, _ = bench_train_step(b)
+                extra[f"train_step_scenes_per_sec_b{b}"] = round(sps_b, 2)
+            except Exception as e:
+                extra[f"train_step_scenes_per_sec_b{b}"] = (
+                    f"FAILED:{type(e).__name__}"
+                )
+            _progress(f"train_step b{b} done {time.time() - t0:.0f}s")
+
+    _emit()
 
 
 if __name__ == "__main__":

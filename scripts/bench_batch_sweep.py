@@ -29,6 +29,7 @@ from smg_tpu.envs.smg_env import EnvConfig
 from smg_tpu.models.affordance import ModelConfig
 from smg_tpu.train.loop import LoopConfig, init_loop, train_step
 from smg_tpu.train.trainer import TrainConfig, Trainer
+from smg_tpu.utils import profiling
 
 
 def bench(batch_size: int, n_calls: int = 5):
@@ -51,16 +52,15 @@ def bench(batch_size: int, n_calls: int = 5):
     p0 = state.trainer.params["grasp_trunk"]["conv0"]["kernel"]
     state, m = step(state)
     state, m = step(state)
-    jax.block_until_ready((state, m))
+    profiling.readback((state, m))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, m = step(state)
-    # Block on the FULL output tree: blocking one leaf (m.loss) returns
-    # before the rest of the program lands on this platform and
-    # under-reports the step ~10x (cross-checked vs profile_step.py
-    # device self time).
-    jax.block_until_ready((state, m))
+    # readback, NOT block_until_ready: even blocking the full output
+    # tree returns early on this platform (bench.py's physics leg
+    # "measured" 400x reality that way; utils/profiling.readback).
+    profiling.readback((state, m))
     dt = (time.perf_counter() - t0) / n_calls
     # Liveness cross-check: the update really moved the online params.
     pd = float(jnp.abs(

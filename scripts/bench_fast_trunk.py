@@ -31,13 +31,15 @@ PEAK = 197e12  # v5e bf16
 
 
 def timeit(fn, *args, n=5, warmup=2):
+    from smg_tpu.utils import profiling
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    profiling.readback(out)  # block_until_ready returns early on axon
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    profiling.readback(out)
     return (time.perf_counter() - t0) / n, out
 
 
@@ -125,7 +127,9 @@ def main():
         return fast_trunk.score_eval(
             params, stats, sc[0:1], mk, cfg.num_out,
             trunk_key="grasp_trunk", head_key="grasp_head",
-            backend=os.environ.get("SMG_FAST_BACKEND", "xla"),
+            backend=os.environ.get(
+                "SMG_FAST_BACKEND", fast_trunk.default_backend()
+            ),
         )
 
     jslow = jax.jit(slow)

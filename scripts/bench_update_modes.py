@@ -48,16 +48,22 @@ def bench(fast_train: str, conv2: str, batch: int = 32):
         valid=jnp.ones((batch,), bool),
     )
     labels = jnp.zeros((batch,), jnp.float32)
+    from smg_tpu.utils import profiling
+
     step = jax.jit(lambda s: trainer.update(s, exp, labels))
     t0 = time.time()
     state2, _ = step(state)
-    jax.block_until_ready(state2.params)
+    profiling.readback(state2)
     compile_s = time.time() - t0
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
         state2, loss = step(state2)
-    jax.block_until_ready(loss)
+    # readback, not block_until_ready: blocking (even full trees) can
+    # return early on this platform (utils/profiling.readback) -- the
+    # round-3 197.9/222.8 ms numbers this script produced blocked on
+    # `loss` alone and are suspect for exactly that reason.
+    profiling.readback((state2, loss))
     dt = (time.perf_counter() - t0) / n
     if conv2 != "conv":
         ft.score_train = orig

@@ -35,6 +35,24 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def readback(out) -> None:
+    """Force a device->host transfer that depends on `out`.
+
+    jax.block_until_ready on this platform (axon tunnel) can return
+    before execution completes — a timed physics loop once "measured"
+    776M scene-steps/s that way (400x reality, caught by checksum).
+    Transferring one element of the first few leaves can only happen
+    after the producing program actually ran, so every timed loop in
+    the bench scripts ends with this instead of block_until_ready.
+    Costs ~1-3 ms (two tiny slice dispatches), amortized over a loop.
+    """
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves[:2]:
+        float(jnp.asarray(leaf).ravel()[0])
+
+
 class PhaseTimer:
     """Accumulates wall time per named phase; blocks on device results so
     timings reflect real execution, not dispatch."""
