@@ -25,19 +25,16 @@ from smg_tpu.models.affordance import ModelConfig
 from smg_tpu.train.trainer import Experience, TrainConfig, Trainer
 
 
-def bench(fast_train: str, conv2: str, batch: int = 32):
+def bench(fast_train: str, conv2: str, batch: int = 32,
+          scene_chunk: int | None = None):
     cfg = TrainConfig(
         model=ModelConfig(method="reinforcement", trunk="densenet121",
                           input_size=224),
-        method="reinforcement", scene_chunk=min(batch, 8),
+        method="reinforcement",
+        scene_chunk=scene_chunk or min(batch, 8),
         fast_train=fast_train,
+        fast_train_conv2=conv2,
     )
-    if conv2 != "conv":
-        import smg_tpu.models.fast_trunk as ft
-        import functools
-
-        orig = ft.score_train
-        ft.score_train = functools.partial(orig, conv2=conv2)
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
@@ -65,20 +62,30 @@ def bench(fast_train: str, conv2: str, batch: int = 32):
     # `loss` alone and are suspect for exactly that reason.
     profiling.readback((state2, loss))
     dt = (time.perf_counter() - t0) / n
-    if conv2 != "conv":
-        ft.score_train = orig
     print(json.dumps({
         "fast_train": fast_train, "conv2": conv2, "batch": batch,
+        "scene_chunk": cfg.scene_chunk,
         "update_ms": round(dt * 1e3, 1), "compile_s": round(compile_s, 1),
         "loss": float(loss),
-    }))
+    }), flush=True)
 
 
 def main() -> None:
+    """Modes from argv: fast_train:conv2[:chunk] triples, or the default
+    matrix. E.g.  bench_update_modes.py off:conv:16 on:vjp:8 on:vjp:32"""
     print("backend:", jax.default_backend())
+    args = sys.argv[1:]
+    if args:
+        for spec in args:
+            parts = spec.split(":")
+            ft, c2 = parts[0], parts[1]
+            chunk = int(parts[2]) if len(parts) > 2 else None
+            bench(ft, c2, scene_chunk=chunk)
+        return
     bench("off", "conv")
     bench("on", "conv")
     bench("on", "taps")
+    bench("on", "vjp")
 
 
 if __name__ == "__main__":

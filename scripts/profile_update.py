@@ -37,16 +37,13 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     fast_train = sys.argv[2] if len(sys.argv) > 2 else "off"
     conv2 = sys.argv[3] if len(sys.argv) > 3 else "conv"
-    if conv2 != "conv":
-        import smg_tpu.models.fast_trunk as ft
-
-        ft.score_train = functools.partial(ft.score_train, conv2=conv2)
+    chunk = int(sys.argv[4]) if len(sys.argv) > 4 else min(batch, 8)
 
     cfg = TrainConfig(
         model=ModelConfig(method="reinforcement", trunk="densenet121",
                           input_size=224),
-        method="reinforcement", scene_chunk=min(batch, 8),
-        fast_train=fast_train,
+        method="reinforcement", scene_chunk=chunk,
+        fast_train=fast_train, fast_train_conv2=conv2,
     )
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))

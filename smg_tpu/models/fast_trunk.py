@@ -424,20 +424,7 @@ def _bn_train(xs: list, np_: dict, ns: dict):
     """Batch-BN affine over a segmented tensor: per-channel f32 stats
     from the segments (channels are disjoint, so per-segment moments are
     exact). Returns (a, b, new_running_stats)."""
-    means, var2 = [], []
-    for seg in xs:
-        x = seg.astype(jnp.float32)
-        means.append(x.mean(axis=tuple(range(x.ndim - 1))))
-        var2.append((x * x).mean(axis=tuple(range(x.ndim - 1))))
-    mean = jnp.concatenate(means) if len(xs) > 1 else means[0]
-    m2 = jnp.concatenate(var2) if len(xs) > 1 else var2[0]
-    var = m2 - mean * mean
-    a = np_["scale"] * jax.lax.rsqrt(var + BN_EPS)
-    b = np_["bias"] - mean * a
-    new = {
-        "mean": BN_MOMENTUM * ns["mean"] + (1 - BN_MOMENTUM) * mean,
-        "var": BN_MOMENTUM * ns["var"] + (1 - BN_MOMENTUM) * var,
-    }
+    a, b, new, _, _ = _bn_train_full(xs, np_, ns)
     return a, b, new
 
 
@@ -455,7 +442,11 @@ def _dense_layer_train(p: dict, s: dict, segs: list, dtype=jnp.bfloat16,
     conv2 'taps' packs the nine 3x3 taps on the matmul N axis (128 ->
     288 lanes, full MXU occupancy vs the 32-channel conv's 32/128) with
     the spatial gather as nine pad-slice adds — the differentiable
-    matmul form of the eval path's packed-taps lowering."""
+    matmul form of the eval path's packed-taps lowering. conv2 'vjp'
+    runs the taps forward under the hand-written custom VJP (minimal
+    residuals, hand-transposed matmuls — see the fast_train section)."""
+    if conv2 == "vjp":
+        return _dense_layer_train_vjp(p, s, segs, dtype)
     B, H, W = segs[0].shape[:3]
     a1, b1, n1 = _bn_train(segs, p["norm1"], s["norm1"])
     C = a1.shape[-1]
@@ -497,6 +488,228 @@ def _dense_layer_train(p: dict, s: dict, segs: list, dtype=jnp.bfloat16,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return new, {"norm1": n1, "norm2": n2}
+
+
+# ---------------------------------------------------------------------------
+# Hand-written VJP dense layer (fast_train)
+# ---------------------------------------------------------------------------
+#
+# Autodiff of the train-mode dense layer saves every post-relu prefix
+# activation y1_g (an (H*W, C_prefix) tensor PER LAYER — O(L^2 * growth)
+# residual traffic across a block) plus h1/y2 for the conv backwards.
+# This custom_vjp saves only h1 (one (H*W, 128) tensor per layer) and
+# the tiny BN statistics; the backward recomputes y1/y2 elementwise from
+# the layer inputs (which JAX already keeps as the VJP's primal inputs)
+# and runs the matmul transposes by hand:
+#   dy2   = dpart @ w2p^T        (one (HW, 288) x (288, 128) MXU call)
+#   dw2p  = y2^T @ dpart         (one (128, HW) x (HW, 288) MXU call)
+#   dw1_g = y1_g^T @ dh1, dx_g = relu'/BN1-bwd(dh1 @ w1_g^T)  per group
+# BN-train backward is the standard biased-variance form
+#   dx = a * (du - mean(du) - xhat * mean(du * xhat)).
+# Numerics match _dense_layer_train(conv2='taps') exactly in the forward
+# (same ops, same dtypes); grads are oracle-tested in
+# tests/test_fast_trunk.py::test_score_train_parity_and_grads[vjp].
+
+import functools as _functools
+
+
+def _bn_xhat(x, mean, var):
+    return (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + BN_EPS)
+
+
+def _bn_bwd(du, xhat, scale, var, axes):
+    """Standard train-mode BatchNorm backward (biased variance).
+
+    du: cotangent of the BN output (pre-relu); returns (dx, dscale,
+    dbias). axes: the normalization axes (all but channels)."""
+    du = du.astype(jnp.float32)
+    a = scale * jax.lax.rsqrt(var + BN_EPS)
+    mu_du = du.mean(axis=axes, keepdims=True)
+    mu_duh = (du * xhat).mean(axis=axes, keepdims=True)
+    dx = a * (du - mu_du - xhat * mu_duh)
+    dscale = (du * xhat).sum(axis=axes)
+    dbias = du.sum(axis=axes)
+    return dx, dscale, dbias
+
+
+def _layer_taps_fwd(segs, p, dtype):
+    """_dense_layer_train(conv2='taps') forward, returning residuals.
+
+    segs: tuple of (B, H, W, c_g). Returns (out32, new_stats, resid)."""
+    B, H, W = segs[0].shape[:3]
+    a1, b1, n1, mean1, var1 = _bn_train_full(segs, p["norm1"], None)
+    C = a1.shape[-1]
+    w1 = p["conv1"]["kernel"].reshape(C, dbp.BOTTLENECK).astype(dtype)
+    h1 = None
+    off = 0
+    for seg in segs:
+        c = seg.shape[-1]
+        h = _bn_relu_slice_dt(seg, a1, b1, off, dtype)
+        t = jnp.dot(
+            h.reshape(-1, c), w1[off : off + c],
+            preferred_element_type=jnp.float32,
+        )
+        h1 = t if h1 is None else h1 + t
+        off += c
+    h1 = h1.reshape(B, H, W, dbp.BOTTLENECK)
+    a2, b2, n2, mean2, var2 = _bn_train_full([h1], p["norm2"], None)
+    h2 = jnp.maximum(h1 * a2 + b2, 0.0).astype(dtype)
+    w2 = (
+        p["conv2"]["kernel"].transpose(2, 0, 1, 3)
+        .reshape(dbp.BOTTLENECK, dbp.N_TAPS * dbp.GROWTH)
+        .astype(dtype)
+    )
+    part = jnp.dot(
+        h2, w2, preferred_element_type=jnp.float32
+    ).astype(dtype).reshape(B, H, W, dbp.N_TAPS, dbp.GROWTH)
+    partp = jnp.pad(part, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    acc = jnp.zeros((B, H, W, dbp.GROWTH), jnp.float32)
+    for tap in range(dbp.N_TAPS):
+        dy, dx = divmod(tap, 3)
+        acc = acc + partp[:, dy : dy + H, dx : dx + W, tap, :].astype(
+            jnp.float32
+        )
+    out = acc.astype(dtype)
+    resid = (segs, h1.astype(dtype), mean1, var1, mean2, var2)
+    return out, resid
+
+
+def _bn_train_full(xs, np_, ns):
+    """_bn_train + the raw (mean, var) needed by the backward. ns=None
+    skips the running-average update (stats returned as None)."""
+    means, var2 = [], []
+    for seg in xs:
+        x = seg.astype(jnp.float32)
+        means.append(x.mean(axis=tuple(range(x.ndim - 1))))
+        var2.append((x * x).mean(axis=tuple(range(x.ndim - 1))))
+    mean = jnp.concatenate(means) if len(xs) > 1 else means[0]
+    m2 = jnp.concatenate(var2) if len(xs) > 1 else var2[0]
+    var = m2 - mean * mean
+    a = np_["scale"] * jax.lax.rsqrt(var + BN_EPS)
+    b = np_["bias"] - mean * a
+    new = None if ns is None else {
+        "mean": BN_MOMENTUM * ns["mean"] + (1 - BN_MOMENTUM) * mean,
+        "var": BN_MOMENTUM * ns["var"] + (1 - BN_MOMENTUM) * var,
+    }
+    return a, b, new, mean, var
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _layer_vjp(segs, p, dtype):
+    """Returns (out32, (mean1, var1, mean2, var2)). The batch moments are
+    auxiliary primal outputs (their cotangent is discarded: running
+    averages are state, not differentiated outputs)."""
+    out, resid = _layer_taps_fwd(segs, p, dtype)
+    return out, resid[2:]
+
+
+def _layer_vjp_fwd(segs, p, dtype):
+    out, resid = _layer_taps_fwd(segs, p, dtype)
+    return (out, resid[2:]), (resid, p)
+
+
+def _layer_vjp_bwd(dtype, carry, cot):
+    dout, _ = cot  # moment cotangents discarded (state, not output)
+    (segs, h1, mean1, var1, mean2, var2), p = carry
+    B, H, W = segs[0].shape[:3]
+    HW = B * H * W
+    scale1 = p["norm1"]["scale"]
+    scale2 = p["norm2"]["scale"]
+    C = scale1.shape[-1]
+    w1 = p["conv1"]["kernel"].reshape(C, dbp.BOTTLENECK).astype(dtype)
+    w2 = (
+        p["conv2"]["kernel"].transpose(2, 0, 1, 3)
+        .reshape(dbp.BOTTLENECK, dbp.N_TAPS * dbp.GROWTH)
+        .astype(dtype)
+    )
+
+    # conv2 taps backward: dpart[., tap] = dout shifted by (1-dy, 1-dx).
+    doutp = jnp.pad(
+        dout.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0))
+    )
+    dpart = jnp.stack(
+        [
+            doutp[:, 2 - dy : 2 - dy + H, 2 - dx : 2 - dx + W, :]
+            for dy, dx in (divmod(t, 3) for t in range(dbp.N_TAPS))
+        ],
+        axis=3,
+    ).reshape(HW, dbp.N_TAPS * dbp.GROWTH)
+
+    # Recompute y2 elementwise from the saved h1.
+    a2 = scale2 * jax.lax.rsqrt(var2 + BN_EPS)
+    b2 = p["norm2"]["bias"] - mean2 * a2
+    h1f = h1.astype(jnp.float32)
+    u2 = h1f * a2 + b2
+    y2 = jnp.maximum(u2, 0.0).astype(dtype).reshape(HW, dbp.BOTTLENECK)
+
+    dy2 = jnp.dot(dpart, w2.T, preferred_element_type=jnp.float32)
+    dw2 = jnp.dot(y2.T, dpart, preferred_element_type=jnp.float32)
+    dw2 = (
+        dw2.reshape(dbp.BOTTLENECK, dbp.N_TAPS, dbp.GROWTH)
+        .transpose(1, 0, 2)
+        .reshape(3, 3, dbp.BOTTLENECK, dbp.GROWTH)
+    )
+
+    du2 = jnp.where(u2 > 0, dy2.reshape(u2.shape), 0.0)
+    xhat2 = _bn_xhat(h1f, mean2, var2)
+    axes2 = tuple(range(h1f.ndim - 1))
+    dh1, dscale2, dbias2 = _bn_bwd(du2, xhat2, scale2, var2, axes2)
+    dh1 = dh1.astype(dtype).reshape(HW, dbp.BOTTLENECK)
+
+    a1 = scale1 * jax.lax.rsqrt(var1 + BN_EPS)
+    b1 = p["norm1"]["bias"] - mean1 * a1
+    dsegs, dw1s, dscale1s, dbias1s = [], [], [], []
+    off = 0
+    for seg in segs:
+        c = seg.shape[-1]
+        segf = seg.astype(jnp.float32)
+        u1 = segf * a1[off : off + c] + b1[off : off + c]
+        y1 = jnp.maximum(u1, 0.0).astype(dtype).reshape(HW, c)
+        dw1s.append(jnp.dot(y1.T, dh1, preferred_element_type=jnp.float32))
+        dy1 = jnp.dot(
+            dh1, w1[off : off + c].T, preferred_element_type=jnp.float32
+        ).reshape(u1.shape)
+        du1 = jnp.where(u1 > 0, dy1, 0.0)
+        xhat1 = _bn_xhat(segf, mean1[off : off + c], var1[off : off + c])
+        axes1 = tuple(range(segf.ndim - 1))
+        dx, dsc, dbi = _bn_bwd(
+            du1, xhat1, scale1[off : off + c], var1[off : off + c], axes1
+        )
+        dsegs.append(dx.astype(seg.dtype))
+        dscale1s.append(dsc)
+        dbias1s.append(dbi)
+        off += c
+
+    dp = {
+        "norm1": {"scale": jnp.concatenate(dscale1s) if len(segs) > 1
+                  else dscale1s[0],
+                  "bias": jnp.concatenate(dbias1s) if len(segs) > 1
+                  else dbias1s[0]},
+        "conv1": {"kernel": jnp.concatenate(dw1s, axis=0).reshape(
+            p["conv1"]["kernel"].shape
+        )},
+        "norm2": {"scale": dscale2, "bias": dbias2},
+        "conv2": {"kernel": dw2.astype(p["conv2"]["kernel"].dtype)},
+    }
+    return tuple(dsegs), dp
+
+
+_layer_vjp.defvjp(_layer_vjp_fwd, _layer_vjp_bwd)
+
+
+def _dense_layer_train_vjp(p: dict, s: dict, segs: list, dtype):
+    """conv2='vjp': the taps forward under the hand-written VJP; the
+    running-average update is plain arithmetic on the returned moments
+    (stop_gradient'd — state, not a differentiated output)."""
+    out, (mean1, var1, mean2, var2) = _layer_vjp(tuple(segs), p, dtype)
+    ra = lambda ns, mean, var: {
+        "mean": BN_MOMENTUM * ns["mean"]
+        + (1 - BN_MOMENTUM) * jax.lax.stop_gradient(mean),
+        "var": BN_MOMENTUM * ns["var"]
+        + (1 - BN_MOMENTUM) * jax.lax.stop_gradient(var),
+    }
+    return out, {"norm1": ra(s["norm1"], mean1, var1),
+                 "norm2": ra(s["norm2"], mean2, var2)}
 
 
 def trunk_features_train(tp: dict, ts: dict, x: jax.Array,

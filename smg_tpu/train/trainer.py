@@ -68,13 +68,16 @@ class TrainConfig:
     # tests, tiny trunks, train mode). 'on'/'off' force it.
     fast_eval: str = "auto"
     # Train-mode (update gradient pass) forward implementation: 'on'
-    # forces the grouped-prefix batch-BN forward (fast_trunk.score_train).
-    # Measured on one v5e at batch 32 (scripts/bench_update_modes.py,
-    # logs/tpu_queue_r3): the Flax path's update is FASTER (197.9 ms vs
-    # 222.8 'on'/conv and 266.4 'on'/taps — autodiff through the grouped
-    # dots/slices costs more than XLA's fused conv backward), so 'auto'
-    # resolves to off everywhere.
+    # forces the grouped-prefix batch-BN forward (fast_trunk.score_train)
+    # with the lowering named by fast_train_conv2 ('vjp' = the
+    # hand-written custom-VJP dense layer: minimal residuals, packed
+    # transposed-taps matmuls; 'conv'/'taps' = autodiff through the
+    # grouped forward). Round 3's matrix that decided 'auto'=off was
+    # measured with early-returning block_until_ready and is void
+    # (PERF.md measurement correction); 'auto' is re-decided on the
+    # readback-timed matrix in scripts/bench_update_modes.py.
     fast_train: str = "auto"
+    fast_train_conv2: str = "vjp"
 
 
 @struct.dataclass
@@ -232,7 +235,8 @@ class Trainer:
             from smg_tpu.models import fast_trunk
 
             return fast_trunk.score_train(
-                p, s, scene_in, mask_ins, self.cfg.model.num_out
+                p, s, scene_in, mask_ins, self.cfg.model.num_out,
+                conv2=self.cfg.fast_train_conv2,
             )
         out, mut = self.model.apply(
             {"params": p, "batch_stats": s}, scene_in, mask_ins,

@@ -194,9 +194,12 @@ def test_score_eval_parity(backend):
 
 
 @pytest.mark.slow
-def test_score_train_parity_and_grads():
+@pytest.mark.parametrize("conv2", ["conv", "taps", "vjp"])
+def test_score_train_parity_and_grads(conv2):
     """score_train == the Flax train-mode pipeline: outputs, mutated BN
-    statistics, and parameter gradients.
+    statistics, and parameter gradients — for the XLA-conv lowering, the
+    packed-taps matmul lowering, and the hand-written custom-VJP layer
+    (fast_train; minimal residuals + hand-transposed matmuls).
 
     Depth note: train-mode BN is data-dependent, so bf16 rounding is
     chaotically amplified with depth — at full DenseNet-121 depth the
@@ -257,7 +260,8 @@ def test_score_train_parity_and_grads():
     params = {"grasp_trunk": tp, "grasp_head": hp}
     stats = {"grasp_trunk": tstats, "grasp_head": hstats}
     got_out, got_mut = fast_trunk.score_train(
-        params, stats, scene, masks, num_out, dtype=jnp.float32
+        params, stats, scene, masks, num_out, dtype=jnp.float32,
+        conv2=conv2,
     )
     _assert_close_l2(got_out, ref_out, tol=2e-3, name="score_train out")
 
@@ -279,7 +283,8 @@ def test_score_train_parity_and_grads():
 
     def loss_fast(p):
         out, _ = fast_trunk.score_train(
-            p, stats, scene, masks, num_out, dtype=jnp.float32
+            p, stats, scene, masks, num_out, dtype=jnp.float32,
+            conv2=conv2,
         )
         return jnp.sum(out ** 2)
 
