@@ -207,10 +207,12 @@ def bench_model(input_size: int, streams: int = 64):
             params, stats, scene_img, mask_imgs, cfg.num_out
         )
 
-    jfwd = jax.jit(fwd)
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     scene = jax.random.normal(k1, (1, S, S, 3), jnp.float32)
     masks = jax.random.normal(k2, (1, streams, S, S, 3), jnp.float32)
+    # AOT-execute like the production loop (cli/main): the compiled call
+    # skips the jit wrapper's per-call arg processing.
+    jfwd = jax.jit(fwd).lower(scene, masks).compile()
 
     flops = score_flops(S, streams, cfg.num_out)
     dt = _timeit(jfwd, scene, masks, n_calls=5)
@@ -287,7 +289,12 @@ def bench_train_step(batch_size: int = 8):
         )
     )
     state = init_loop(jax.random.PRNGKey(0), trainer, cfg)
-    step = jax.jit(functools.partial(train_step, trainer, cfg))
+    # AOT-execute, matching the production loop (cli/main). No donation:
+    # donated buffers poison execution on this TPU platform (see
+    # cli/main.py for the bisect).
+    step = jax.jit(
+        functools.partial(train_step, trainer, cfg)
+    ).lower(state).compile()
 
     # Warmup: compile + reach the steady-state cache (2 calls).
     state, m = step(state)

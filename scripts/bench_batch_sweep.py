@@ -48,8 +48,15 @@ def bench(batch_size: int, n_calls: int = 5):
     )
     t0 = time.perf_counter()
     state = init_loop(jax.random.PRNGKey(0), trainer, cfg)
-    step = jax.jit(functools.partial(train_step, trainer, cfg))
-    p0 = state.trainer.params["grasp_trunk"]["conv0"]["kernel"]
+    # AOT-execute, matching the production loop (cli/main). No donation:
+    # donated buffers poison execution on this TPU platform (see
+    # cli/main.py for the bisect).
+    step = jax.jit(
+        functools.partial(train_step, trainer, cfg)
+    ).lower(state).compile()
+    import numpy as np
+
+    p0 = np.asarray(state.trainer.params["grasp_trunk"]["conv0"]["kernel"])
     state, m = step(state)
     state, m = step(state)
     profiling.readback((state, m))

@@ -49,13 +49,18 @@ def bench(fast_train: str, conv2: str, batch: int = 32,
 
     step = jax.jit(lambda s: trainer.update(s, exp, labels))
     t0 = time.time()
-    state2, _ = step(state)
+    # AOT-compile and execute the compiled object directly: dispatching
+    # through the jit wrapper re-flattens the ~2000-leaf state pytree on
+    # the host every call, which is load-sensitive and inflated earlier
+    # matrix numbers by 60-180 ms vs bench.py's AOT timings.
+    compiled = step.lower(state).compile()
+    state2, _ = compiled(state)
     profiling.readback(state2)
     compile_s = time.time() - t0
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        state2, loss = step(state2)
+        state2, loss = compiled(state2)
     # readback, not block_until_ready: blocking (even full trees) can
     # return early on this platform (utils/profiling.readback) -- the
     # round-3 197.9/222.8 ms numbers this script produced blocked on

@@ -273,6 +273,16 @@ def main(argv=None) -> None:
     else:
         step_fn = jax.jit(functools.partial(train_step, trainer, cfg.loop))
 
+    # Execute the AOT-compiled object directly: dispatching through the
+    # jit wrapper re-flattens the ~2000-leaf LoopState pytree on the host
+    # every iteration, host-load-sensitive overhead the compiled call
+    # avoids (measured on the update bench: scripts/bench_update_modes).
+    # NOTE: no donate_argnums — buffer donation asynchronously poisons
+    # execution on this TPU platform (INVALID_ARGUMENT at the first
+    # readback; bisected 2026-08-19: plain jit ok, AOT-only ok, any
+    # donated variant fails). Inputs are copied instead.
+    step_fn = step_fn.lower(state).compile()
+
     episode_target = (
         cfg.testing_episode if cfg.env.is_testing else cfg.training_episode
     )

@@ -50,7 +50,12 @@ def _metrics_shardings(mesh):
 
 
 def place_loop_state(state: train_loop.LoopState, mesh):
-    """Distribute an initialized LoopState onto the mesh."""
+    """Distribute an initialized LoopState onto the mesh.
+
+    The placed arrays may zero-copy alias the source's buffers (XLA:CPU
+    does this for compatible layouts); callers that keep using the
+    source afterwards should treat it as read-only. Every caller rebinds
+    (`state = place_loop_state(state, mesh)`)."""
     sh = _loopstate_shardings(mesh, state)
     return jax.tree_util.tree_map(jax.device_put, state, sh)
 
@@ -61,4 +66,8 @@ def make_sharded_step(trainer: Trainer, cfg: train_loop.LoopConfig, mesh,
     in_sh = _loopstate_shardings(mesh, state_template)
     out_sh = (in_sh, _metrics_shardings(mesh))
     step = functools.partial(train_loop.train_step, trainer, cfg)
+    # No donate_argnums: buffer donation asynchronously poisons execution
+    # on the target TPU platform (INVALID_ARGUMENT at first readback;
+    # bisected 2026-08-19 — see cli/main.py). The input copy costs one
+    # state-sized HBM round trip per step.
     return jax.jit(step, in_shardings=(in_sh,), out_shardings=out_sh)

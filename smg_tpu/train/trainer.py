@@ -67,17 +67,18 @@ class TrainConfig:
     # TPU for the DenseNet trunk, and the Flax/XLA path elsewhere (CPU
     # tests, tiny trunks, train mode). 'on'/'off' force it.
     fast_eval: str = "auto"
-    # Train-mode (update gradient pass) forward implementation: 'on'
-    # forces the grouped-prefix batch-BN forward (fast_trunk.score_train)
-    # with the lowering named by fast_train_conv2 ('vjp' = the
-    # hand-written custom-VJP dense layer: minimal residuals, packed
-    # transposed-taps matmuls; 'conv'/'taps' = autodiff through the
-    # grouped forward). Round 3's matrix that decided 'auto'=off was
-    # measured with early-returning block_until_ready and is void
-    # (PERF.md measurement correction); 'auto' is re-decided on the
-    # readback-timed matrix in scripts/bench_update_modes.py.
+    # Train-mode (update gradient pass) forward implementation: the
+    # grouped-prefix batch-BN forward (fast_trunk.score_train) with the
+    # lowering named by fast_train_conv2. The readback-timed AOT matrix
+    # (scripts/bench_update_modes.py, one v5e, batch 32, 2026-08-19):
+    # Flax 283.6 ms vs grouped+autodiff 'conv' 204.2 (1.39x), 'taps'
+    # 376.6, hand-VJP 'vjp' 411.8 (XLA's fused autodiff backward beats
+    # the hand backward's elementwise recomputes). Round 3's matrix that
+    # decided 'auto'=off was measured with early-returning
+    # block_until_ready and was void (PERF.md measurement correction).
+    # 'auto' = on for the DenseNet-121 trunk on TPU, off elsewhere.
     fast_train: str = "auto"
-    fast_train_conv2: str = "vjp"
+    fast_train_conv2: str = "conv"
 
 
 @struct.dataclass
@@ -509,10 +510,18 @@ class Trainer:
     def _use_fast_train(self) -> bool:
         """Grouped-prefix train-mode forward (fast_trunk.score_train).
 
-        Opt-in only: measured slower than the Flax update on TPU at
-        batch 32 (see the fast_train field comment), so 'auto' is off.
+        'auto' resolves on like _use_fast_eval (TPU + DenseNet-121):
+        measured 1.39x the Flax update at batch 32 (see the fast_train
+        field comment). CPU tests keep the Flax path, whose train-mode
+        semantics the grouped forward is oracle-tested against.
         """
-        return self.cfg.fast_train == "on"
+        if self.cfg.fast_train == "on":
+            return True
+        return (
+            self.cfg.fast_train == "auto"
+            and self.cfg.model.trunk == "densenet121"
+            and jax.default_backend() == "tpu"
+        )
 
     def _style_chunks(self, arrays: tuple, styles: jax.Array):
         """Sort per-scene arrays by style and reshape to (n_chunks, C, ...).

@@ -67,16 +67,19 @@ def runs(mesh):
     trainer, loop_cfg = _tiny_setup()
     state0 = init_loop(jax.random.PRNGKey(0), trainer, loop_cfg)
 
-    s_state = sharded.place_loop_state(state0, mesh)
-    s_step = sharded.make_sharded_step(trainer, loop_cfg, mesh, s_state)
-    s_state, s_m1 = s_step(s_state)
-    s_state, s_m2 = s_step(s_state)
-
+    # Unsharded steps FIRST: place_loop_state may zero-copy alias state0's
+    # buffers (XLA:CPU does), so run the unsharded path before anything
+    # touches the placed copy.
     import functools
     u_step = jax.jit(functools.partial(train_step, trainer, loop_cfg))
     u_state = state0
     u_state, u_m1 = u_step(u_state)
     u_state, u_m2 = u_step(u_state)
+
+    s_state = sharded.place_loop_state(state0, mesh)
+    s_step = sharded.make_sharded_step(trainer, loop_cfg, mesh, s_state)
+    s_state, s_m1 = s_step(s_state)
+    s_state, s_m2 = s_step(s_state)
     jax.block_until_ready((s_m2, u_m2))
     return s_state, (s_m1, s_m2), u_state, (u_m1, u_m2)
 
