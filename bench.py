@@ -125,10 +125,18 @@ def bench_physics() -> float:
     B = 1024
     steps_per_call = 100
     keys = jax.random.split(jax.random.PRNGKey(0), B)
-    reset = jax.jit(
-        jax.vmap(lambda k: scene_mod.reset_scene(k, settle_steps=50))
-    )
-    batch = jax.block_until_ready(reset(keys))
+    # Spawn-only vmap + batched settle (bit-equivalent, test_physics.py::
+    # TestPallasBatchedStepper): the vmapped per-scene settle compiles to
+    # a much larger executable whose first-run shipping through the axon
+    # tunnel can eat minutes of the bench budget when the tunnel's
+    # device->host path is degraded.
+    def _reset(ks):
+        b = jax.vmap(
+            lambda k: scene_mod.reset_scene(k, settle_steps=0)
+        )(ks)
+        return stepper.run_steps_batched(b, b.gripper, 50)
+
+    batch = jax.block_until_ready(jax.jit(_reset)(keys))
     roll = jax.jit(
         lambda b: stepper.run_steps_batched(b, b.gripper, steps_per_call)
     )

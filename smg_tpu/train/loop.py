@@ -301,12 +301,21 @@ def train_step(
     done = jax.vmap(
         lambda n, nc, ok, es, ei: env.episode_done(n, nc, ok, es, ei, ecfg)
     )(next_obs_number, no_change, sim_ok, episode_succ, episode_iter)
+    # Spawn per-scene; settle through the batched Pallas stepper when the
+    # executor is batched: bit-equivalent to the vmapped settle
+    # (tests/test_physics.py::TestPallasBatchedStepper) and ~2x faster at
+    # batch >= 256 (42 -> 24 ms of settle at B=256).
+    settle_n = cfg.reset_settle_steps if executor == "vmap" else 0
     fresh = jax.vmap(
         lambda k: scene_mod.reset_scene(
-            k, ecfg.is_cluttered, ecfg.is_testing, cfg.reset_settle_steps,
+            k, ecfg.is_cluttered, ecfg.is_testing, settle_n,
             catalogs=env.resolve_catalogs(ecfg),
         )
     )(jax.random.split(k_reset, B))
+    if executor != "vmap":
+        fresh = stepper.run_steps_batched(
+            fresh, fresh.gripper, cfg.reset_settle_steps
+        )
     scenes_next = jax.tree_util.tree_map(
         lambda new, fr: jnp.where(
             done.reshape((B,) + (1,) * (new.ndim - 1)), fr, new
