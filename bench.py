@@ -106,16 +106,31 @@ def _readback(out) -> None:
         float(jnp.asarray(leaf).ravel()[0])
 
 
+def _rb_cost(out) -> float:
+    """Measure the pure device->host cost of _readback on an already-
+    computed output. The tunnel's transfer latency varies (observed 2 ms
+    healthy to ~1.5 s degraded); timed loops subtract this so the
+    readback that forces completion does not bill its transfer time to
+    the program under test. Median of 3 to shed outliers."""
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _readback(out)
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1]
+
+
 def _timeit(fn, *args, n_calls: int = 10, warmup: int = 2):
     out = None
     for _ in range(warmup):
         out = fn(*args)
     _readback(out)  # drain the queue before the timed region
+    rb = _rb_cost(out)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         out = fn(*args)
     _readback(out)
-    return (time.perf_counter() - t0) / n_calls
+    return max(time.perf_counter() - t0 - rb, 1e-9) / n_calls
 
 
 def bench_physics() -> float:
@@ -144,11 +159,12 @@ def bench_physics() -> float:
     batch = roll(batch)
     _readback(batch)  # drain the queue (block_until_ready returns early
     n_calls = 10      # on this platform — see _readback)
+    rb = _rb_cost(batch)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         batch = roll(batch)
     _readback(batch)
-    dt = time.perf_counter() - t0
+    dt = max(time.perf_counter() - t0 - rb, 1e-9)
     return n_calls * steps_per_call * B / dt
 
 
@@ -266,12 +282,13 @@ def bench_update(batch_size: int = 32):
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
     state2, _ = compiled(state)
     _readback(state2)
+    rb = _rb_cost(state2)
     n_calls = 5
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state2, loss = compiled(state2)
     _readback((state2, loss))
-    dt = (time.perf_counter() - t0) / n_calls
+    dt = max(time.perf_counter() - t0 - rb, 1e-9) / n_calls
     tflops = flops / dt / 1e12 if flops else 0.0
     return tflops, tflops * 1e12 / _peak(), dt
 
@@ -308,6 +325,7 @@ def bench_train_step(batch_size: int = 8):
     state, m = step(state)
     state, m = step(state)
     _readback((state, m))
+    rb = _rb_cost((state, m))
     n_calls = 5
     t0 = time.perf_counter()
     for _ in range(n_calls):
@@ -317,13 +335,16 @@ def bench_train_step(batch_size: int = 8):
     # full output tree early-returns on this platform (the physics leg
     # "measured" 400x reality that way — see _readback).
     _readback((state, m))
-    dt = (time.perf_counter() - t0) / n_calls
+    dt = max(time.perf_counter() - t0 - rb, 1e-9) / n_calls
     return batch_size / dt, dt
 
 
 def main() -> None:
     full = "--full" in sys.argv[1:]
-    budget = float(os.environ.get("SMG_BENCH_BUDGET", "900"))
+    # Driver kill observed at ~1200s (VERDICT r3 weak #1); leave ~60s of
+    # margin for the JSON line + exit. On a degraded tunnel the late legs
+    # (train_step b256, model 224) need the extra headroom.
+    budget = float(os.environ.get("SMG_BENCH_BUDGET", "1140"))
     if not full:
         threading.Thread(
             target=_watchdog, args=(budget,), daemon=True

@@ -61,6 +61,15 @@ def bench(batch_size: int, n_calls: int = 5):
     state, m = step(state)
     profiling.readback((state, m))
     compile_s = time.perf_counter() - t0
+    # The tunnel's device->host latency varies (2 ms healthy, ~1.5 s
+    # degraded); subtract the readback's own cost so it does not bill
+    # its transfer time to the step (median of 3).
+    rbs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        profiling.readback((state, m))
+        rbs.append(time.perf_counter() - t0)
+    rb = sorted(rbs)[1]
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, m = step(state)
@@ -68,7 +77,7 @@ def bench(batch_size: int, n_calls: int = 5):
     # tree returns early on this platform (bench.py's physics leg
     # "measured" 400x reality that way; utils/profiling.readback).
     profiling.readback((state, m))
-    dt = (time.perf_counter() - t0) / n_calls
+    dt = max(time.perf_counter() - t0 - rb, 1e-9) / n_calls
     # Liveness cross-check: the update really moved the online params.
     pd = float(jnp.abs(
         state.trainer.params["grasp_trunk"]["conv0"]["kernel"] - p0
