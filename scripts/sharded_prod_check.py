@@ -62,6 +62,19 @@ def main() -> None:
     state_s, m2 = step_s(state_s)
     profiling.readback(m2)
     losses_sharded = [float(m1.loss), float(m2.loss)]
+    # Emit the core evidence (Pallas fast-eval executed under the pjit
+    # sharded step) immediately: the plain-jit cross-check below costs a
+    # second cold multi-minute compile, and an outer timeout there must
+    # not erase this leg's result (it did on 2026-08-20's first attempt).
+    print(json.dumps({
+        "stage": "sharded_only",
+        "backend": jax.default_backend(),
+        "devices": n_dev, "batch": batch, "trunk": "densenet121",
+        "fast_eval": trainer._use_fast_eval,
+        "losses_sharded": losses_sharded,
+        "compile_s": round(compile_s, 1),
+        "finite": bool(all(jnp.isfinite(jnp.asarray(losses_sharded)))),
+    }), flush=True)
 
     # Plain jit path on identical initial state.
     state_p = init_loop(jax.random.PRNGKey(0), trainer, loop_cfg)
