@@ -26,6 +26,11 @@ from __future__ import annotations
 import argparse
 import json
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
