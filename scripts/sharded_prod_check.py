@@ -41,10 +41,15 @@ from smg_tpu.utils import profiling
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     env_cfg = EnvConfig(is_pe=True, is_oo=True, method="reinforcement")
+    # scene_chunk matches bench.py's bench_train_step exactly so that at
+    # batch 256 the plain-jit cross-check leg is a persistent-cache HIT
+    # (the sharded leg is the one cold compile this host can afford:
+    # 2026-08-20's batch-4 attempt burned its whole budget compiling two
+    # distinct programs on the 1-CPU host).
     trainer = Trainer(TrainConfig(
         model=ModelConfig(method="reinforcement", trunk="densenet121",
                           input_size=224),
-        method="reinforcement", scene_chunk=min(batch, 4),
+        method="reinforcement", scene_chunk=min(batch, 8),
     ))
     loop_cfg = LoopConfig(env=env_cfg, batch_size=batch)
 
