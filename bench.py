@@ -253,15 +253,12 @@ def bench_update(batch_size: int = 32):
     """
     import jax.numpy as jnp
 
-    from smg_tpu.models.affordance import ModelConfig
-    from smg_tpu.train.trainer import Experience, TrainConfig, Trainer
+    from smg_tpu.train.prod_config import make_prod_trainer
+    from smg_tpu.train.trainer import Experience
 
-    cfg = TrainConfig(
-        model=ModelConfig(method="reinforcement", trunk="densenet121",
-                          input_size=224),
-        method="reinforcement", scene_chunk=min(batch_size, 8),
-    )
-    trainer = Trainer(cfg)
+    # Shared with scripts/sharded_prod_check.py so the persistent-cache
+    # keys cannot drift (advisor finding, round 4).
+    trainer = make_prod_trainer(batch_size)
     state = trainer.init_state(jax.random.PRNGKey(0))
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
     B = batch_size
@@ -297,22 +294,13 @@ def bench_train_step(batch_size: int = 8):
     """Full training-loop step rate (DenseNet-121 @ 224), scenes/s."""
     import functools
 
-    from smg_tpu.models.affordance import ModelConfig
-    from smg_tpu.train.loop import LoopConfig, init_loop, train_step
-    from smg_tpu.train.trainer import TrainConfig, Trainer
-    from smg_tpu.envs.smg_env import EnvConfig
+    from smg_tpu.train.loop import init_loop, train_step
+    from smg_tpu.train.prod_config import make_prod_loop_cfg, make_prod_trainer
 
-    cfg = LoopConfig(
-        env=EnvConfig(is_pe=True, is_oo=True, method="reinforcement"),
-        batch_size=batch_size,
-    )
-    trainer = Trainer(
-        TrainConfig(
-            model=ModelConfig(method="reinforcement", trunk="densenet121",
-                              input_size=224),
-            method="reinforcement", scene_chunk=min(batch_size, 8),
-        )
-    )
+    # Shared with scripts/sharded_prod_check.py so the persistent-cache
+    # keys cannot drift (advisor finding, round 4).
+    cfg = make_prod_loop_cfg(batch_size)
+    trainer = make_prod_trainer(batch_size)
     state = init_loop(jax.random.PRNGKey(0), trainer, cfg)
     # AOT-execute, matching the production loop (cli/main). No donation:
     # donated buffers poison execution on this TPU platform (see

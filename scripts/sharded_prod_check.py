@@ -29,29 +29,23 @@ enable_persistent_cache()
 
 import functools
 
-from smg_tpu.envs.smg_env import EnvConfig
-from smg_tpu.models.affordance import ModelConfig
 from smg_tpu.parallel import mesh as mesh_mod
 from smg_tpu.parallel import sharded
-from smg_tpu.train.loop import LoopConfig, init_loop, train_step
-from smg_tpu.train.trainer import TrainConfig, Trainer
+from smg_tpu.train.loop import init_loop, train_step
+from smg_tpu.train.prod_config import make_prod_loop_cfg, make_prod_trainer
 from smg_tpu.utils import profiling
 
 
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    env_cfg = EnvConfig(is_pe=True, is_oo=True, method="reinforcement")
-    # scene_chunk matches bench.py's bench_train_step exactly so that at
-    # batch 256 the plain-jit cross-check leg is a persistent-cache HIT
-    # (the sharded leg is the one cold compile this host can afford:
-    # 2026-08-20's batch-4 attempt burned its whole budget compiling two
-    # distinct programs on the 1-CPU host).
-    trainer = Trainer(TrainConfig(
-        model=ModelConfig(method="reinforcement", trunk="densenet121",
-                          input_size=224),
-        method="reinforcement", scene_chunk=min(batch, 8),
-    ))
-    loop_cfg = LoopConfig(env=env_cfg, batch_size=batch)
+    # The trainer/loop configs come from the SAME helper bench.py uses,
+    # so the plain-jit cross-check leg is a persistent-cache HIT whenever
+    # bench has run at this batch (the sharded leg is the one cold
+    # compile this host can afford: 2026-08-20's batch-4 attempt burned
+    # its whole budget compiling two distinct programs on the 1-CPU
+    # host). Advisor finding r4: configs must not drift.
+    trainer = make_prod_trainer(batch)
+    loop_cfg = make_prod_loop_cfg(batch)
 
     n_dev = len(jax.devices())
     mesh = mesh_mod.make_mesh(n_dev)
