@@ -99,6 +99,7 @@ def main() -> None:
     bench("on", "conv")
     bench("on", "taps")
     bench("on", "vjp")
+    bench("on", "pk")
 
 
 if __name__ == "__main__":

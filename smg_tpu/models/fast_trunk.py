@@ -444,7 +444,12 @@ def _dense_layer_train(p: dict, s: dict, segs: list, dtype=jnp.bfloat16,
     the spatial gather as nine pad-slice adds — the differentiable
     matmul form of the eval path's packed-taps lowering. conv2 'vjp'
     runs the taps forward under the hand-written custom VJP (minimal
-    residuals, hand-transposed matmuls — see the fast_train section)."""
+    residuals, hand-transposed matmuls — see the fast_train section);
+    conv2 'pk' runs BOTH directions as fused per-scene Pallas kernels
+    (ops/dense_layer_train_pallas.py), falling back to 'vjp' where the
+    per-scene tensors exceed VMEM."""
+    if conv2 == "pk":
+        return _dense_layer_train_pk(p, s, segs, dtype)
     if conv2 == "vjp":
         return _dense_layer_train_vjp(p, s, segs, dtype)
     B, H, W = segs[0].shape[:3]
@@ -702,6 +707,109 @@ def _dense_layer_train_vjp(p: dict, s: dict, segs: list, dtype):
     running-average update is plain arithmetic on the returned moments
     (stop_gradient'd — state, not a differentiated output)."""
     out, (mean1, var1, mean2, var2) = _layer_vjp(tuple(segs), p, dtype)
+    ra = lambda ns, mean, var: {
+        "mean": BN_MOMENTUM * ns["mean"]
+        + (1 - BN_MOMENTUM) * jax.lax.stop_gradient(mean),
+        "var": BN_MOMENTUM * ns["var"]
+        + (1 - BN_MOMENTUM) * jax.lax.stop_gradient(var),
+    }
+    return out, {"norm1": ra(s["norm1"], mean1, var1),
+                 "norm2": ra(s["norm2"], mean2, var2)}
+
+
+# ---------------------------------------------------------------------------
+# Pallas-kernel dense layer (fast_train conv2='pk')
+# ---------------------------------------------------------------------------
+#
+# The jnp VJP above saved residual traffic but paid for its elementwise
+# y1/y2/xhat recomputes in HBM round-trips (411.8 vs autodiff-conv's
+# 204.2 ms at batch 32, round-4 AOT matrix). The 'pk' mode runs the same
+# minimal-residual scheme with the whole per-scene layer fused in VMEM:
+# forward and backward are one Pallas kernel each
+# (ops/dense_layer_train_pallas.py), vmap over the scene chunk lifts
+# them onto the Pallas grid. Numerics: identical op/rounding structure,
+# except h1 is rounded to the compute dtype once at the residual point
+# (the kernel's stats/conv2 then read the rounded h1 — in bf16 this is
+# a sub-rounding-error divergence from the jnp forward, and makes the
+# forward and backward MORE consistent with each other).
+
+
+def _pk_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _layer_vjp_pk(segs, p, dtype):
+    out, _h1, m1, v1, m2, v2 = _pk_fwd_call(segs, p, dtype)
+    return out, (m1, v1, m2, v2)
+
+
+def _pk_fwd_call(segs, p, dtype):
+    from smg_tpu.ops import dense_layer_train_pallas as dtp
+
+    C = sum(s.shape[-1] for s in segs)
+    w1 = p["conv1"]["kernel"].reshape(C, dbp.BOTTLENECK)
+    w2p = (
+        p["conv2"]["kernel"].transpose(2, 0, 1, 3)
+        .reshape(dbp.BOTTLENECK, dbp.N_TAPS * dbp.GROWTH)
+    )
+    return dtp.layer_train_fwd(
+        tuple(s.astype(dtype) for s in segs), w1,
+        p["norm1"]["scale"], p["norm1"]["bias"], w2p,
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        interpret=_pk_interpret(),
+    )
+
+
+def _layer_vjp_pk_fwd(segs, p, dtype):
+    out, h1, m1, v1, m2, v2 = _pk_fwd_call(segs, p, dtype)
+    return (out, (m1, v1, m2, v2)), ((segs, h1, m1, v1, m2, v2), p)
+
+
+def _layer_vjp_pk_bwd(dtype, carry, cot):
+    from smg_tpu.ops import dense_layer_train_pallas as dtp
+
+    dout, _ = cot  # moment cotangents discarded (state, not output)
+    (segs, h1, m1, v1, m2, v2), p = carry
+    C = sum(s.shape[-1] for s in segs)
+    w1 = p["conv1"]["kernel"].reshape(C, dbp.BOTTLENECK)
+    w2p = (
+        p["conv2"]["kernel"].transpose(2, 0, 1, 3)
+        .reshape(dbp.BOTTLENECK, dbp.N_TAPS * dbp.GROWTH)
+    )
+    dsegs, dw1, dw2p, ds1, db1, ds2, db2 = dtp.layer_train_bwd(
+        tuple(s.astype(dtype) for s in segs), dout, h1, w1, w2p,
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        m1, v1, m2, v2, interpret=_pk_interpret(),
+    )
+    dw2 = (
+        dw2p.reshape(dbp.BOTTLENECK, dbp.N_TAPS, dbp.GROWTH)
+        .transpose(1, 0, 2)
+        .reshape(3, 3, dbp.BOTTLENECK, dbp.GROWTH)
+    )
+    dp = {
+        "norm1": {"scale": ds1, "bias": db1},
+        "conv1": {"kernel": dw1.reshape(p["conv1"]["kernel"].shape)},
+        "norm2": {"scale": ds2, "bias": db2},
+        "conv2": {"kernel": dw2.astype(p["conv2"]["kernel"].dtype)},
+    }
+    return tuple(d.astype(s.dtype) for d, s in zip(dsegs, segs)), dp
+
+
+_layer_vjp_pk.defvjp(_layer_vjp_pk_fwd, _layer_vjp_pk_bwd)
+
+
+def _dense_layer_train_pk(p: dict, s: dict, segs: list, dtype):
+    """conv2='pk': the fused Pallas kernels under the custom VJP; the
+    running-average update is plain arithmetic on the returned moments."""
+    from smg_tpu.ops import dense_layer_train_pallas as dtp
+
+    B, H, W = segs[0].shape[:3]
+    C = sum(x.shape[-1] for x in segs)
+    if not dtp.supported(B, H, W, C):
+        return _dense_layer_train_vjp(p, s, segs, dtype)
+    out, (mean1, var1, mean2, var2) = _layer_vjp_pk(tuple(segs), p, dtype)
     ra = lambda ns, mean, var: {
         "mean": BN_MOMENTUM * ns["mean"]
         + (1 - BN_MOMENTUM) * jax.lax.stop_gradient(mean),

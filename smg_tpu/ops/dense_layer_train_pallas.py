@@ -1,0 +1,437 @@
+"""Fused train-mode DenseNet dense layer: forward AND backward Pallas
+kernels (the training update's hot path).
+
+The update's gradient pass (reference code/trainer.py:278-384 backprop;
+smg_tpu/train/trainer.py `update`) runs batch-1 per-scene train-mode
+forwards under `jax.checkpoint` + vmap. Round 4's hand-written custom
+VJP (models/fast_trunk.py `_layer_vjp`) formulated the minimal-residual
+backward in plain jnp and LOST to XLA autodiff (411.8 vs 204.2 ms at
+batch 32): its elementwise y1/y2/xhat recomputes each round-tripped HBM.
+These kernels keep the whole layer in VMEM — at the training shapes
+(input 224 -> feature maps 56/28/14/7, batch 1 per scene with vmap
+lifting the scene batch into the Pallas grid) one call's entire prefix,
+h1, and cotangents fit on-chip, so a single grid cell runs:
+
+forward:  per prefix group g: batch-BN statistics over (N, H, W) (the
+          reference's train-mode BN; N = 1 per scene in the trainer),
+          y1 = relu(bn(x_g)), h1 += y1 @ w1_g (MXU); then BN2 stats,
+          y2 = relu(bn(h1)), packed-taps conv2 (one (rows,128)@(128,288)
+          MXU call + nine shifted slice-accumulations per image).
+backward: stage 2 in two recompute passes (no big scratches): pass 1
+          accumulates the BN2-backward means and dw2 from tap-shifted
+          dout dots; pass 2 rebuilds du2 and writes dh1. Stage 1 per
+          group: dw1_g = y1_g^T dh1, dy1_g = dh1 w1_g^T (MXU), standard
+          biased-variance BN backward with the du1 means accumulated in
+          pass A and dx_g written in pass B. The recomputed tap/
+          bottleneck dots cost ~0.5 GFLOP/layer-scene — noise on the MXU
+          — and buy the backward zero du1/du2 HBM round-trips.
+
+Numerics mirror fast_trunk._layer_taps_fwd / _layer_vjp_bwd op-for-op
+(same dtypes, same rounding points; h1 is rounded once at the residual
+point, see fast_trunk's 'pk' section); grad parity is oracle-tested in
+tests/test_dense_layer_train_pallas.py and
+tests/test_fast_trunk.py::test_score_train_parity_and_grads[pk].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+GROWTH = 32
+N_TAPS = 9
+BN_EPS = 1e-5
+
+
+def _col_shift(sl: jax.Array, dx: int, W: int) -> jax.Array:
+    """Tap column shift: out col x takes input col x + dx - 1 (zero
+    edges). pltpu.roll on the sublane axis (pad/concat lower poorly
+    there); f32 only — callers cast."""
+    if dx == 1:
+        return sl.astype(jnp.float32)
+    rolled = pltpu.roll(
+        sl.astype(jnp.float32), shift=1 if dx == 0 else W - 1, axis=2
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, sl.shape, 2)
+    mask = (col >= 1) if dx == 0 else (col < W - 1)
+    return jnp.where(mask, rolled, 0.0)
+
+
+def _row_window(ref, b: int, r0: int, r1: int, H: int):
+    """Image b's rows [r0, r1) on the H axis with zeros past the image
+    edges (r0 may be -1, r1 may be H + 1): the conv's zero padding."""
+    lo, hi = max(r0, 0), min(r1, H)
+    x = ref[b : b + 1, lo:hi]
+    zrow = jnp.zeros((1, 1) + x.shape[2:], x.dtype)
+    pieces = []
+    if r0 < 0:
+        pieces.append(zrow)
+    pieces.append(x)
+    if r1 > H:
+        pieces.append(zrow)
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 1)
+
+
+def _images_chunks(B: int, H: int, chunk: int):
+    for b in range(B):
+        for r0 in range(0, H, chunk):
+            yield b, r0, min(r0 + chunk, H)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int,
+                chunk: int, fdtype):
+    segs = refs[:G]
+    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref = refs[G : G + 6]
+    out_ref, h1_ref, mean1_ref, var1_ref, mean2_ref, var2_ref = refs[G + 6:]
+    n = float(B * H * W)
+
+    # Pass 1: batch-BN1 moments per prefix group (over N, H, W).
+    a1s, b1s = [], []
+    off = 0
+    for g in range(G):
+        c = cs[g]
+        x = segs[g][:].astype(jnp.float32)
+        m = jnp.sum(x, axis=(0, 1, 2)) / n
+        m2 = jnp.sum(x * x, axis=(0, 1, 2)) / n
+        v = m2 - m * m
+        a = s1_ref[off : off + c] * jax.lax.rsqrt(v + BN_EPS)
+        b = b1_ref[off : off + c] - m * a
+        mean1_ref[0, off : off + c] = m
+        var1_ref[0, off : off + c] = v
+        a1s.append(a)
+        b1s.append(b)
+        off += c
+
+    # Pass 2: bottleneck h1 = sum_g relu(bn(x_g)) @ w1_g, in row chunks.
+    for b_, r0, r1 in _images_chunks(B, H, chunk):
+        acc = None
+        off = 0
+        for g in range(G):
+            c = cs[g]
+            x = segs[g][b_ : b_ + 1, r0:r1].astype(jnp.float32)
+            y = jnp.maximum(
+                x * a1s[g].reshape(1, 1, 1, c) + b1s[g].reshape(1, 1, 1, c),
+                0.0,
+            ).astype(fdtype)
+            t = jnp.dot(
+                y.reshape(-1, c), w1_ref[off : off + c, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+            off += c
+        h1_ref[b_ : b_ + 1, r0:r1] = acc.reshape(
+            1, r1 - r0, W, LANE
+        ).astype(h1_ref.dtype)
+
+    # Pass 3: BN2 moments of h1 (f32 in h1_ref when fdtype is f32; the
+    # production bf16 path rounds h1 once here, matching the jnp
+    # residual's rounding point for the backward's recompute).
+    h = h1_ref[:].astype(jnp.float32)
+    m2_ = jnp.sum(h, axis=(0, 1, 2)) / n
+    v2_ = jnp.sum(h * h, axis=(0, 1, 2)) / n - m2_ * m2_
+    mean2_ref[0, :] = m2_
+    var2_ref[0, :] = v2_
+    a2 = s2_ref[:] * jax.lax.rsqrt(v2_ + BN_EPS)
+    b2 = b2_ref[:] - m2_ * a2
+    a2r = a2.reshape(1, 1, 1, LANE)
+    b2r = b2.reshape(1, 1, 1, LANE)
+
+    # Pass 4: y2 -> packed-taps conv2 -> out (conv2_pallas scheme).
+    for b_, r0, r1 in _images_chunks(B, H, chunk):
+        cr = r1 - r0
+        hwin = _row_window(h1_ref, b_, r0 - 1, r1 + 1, H).astype(jnp.float32)
+        y2 = jnp.maximum(hwin * a2r + b2r, 0.0).astype(fdtype)
+        # Out-of-image window rows hold raw zeros, which BN maps to
+        # relu(b2) != 0 — mask them back to the conv's zero padding.
+        img = (
+            jax.lax.broadcasted_iota(jnp.int32, y2.shape[:3] + (1,), 1)
+            + r0 - 1
+        )
+        y2 = jnp.where((img >= 0) & (img < H), y2, 0)
+        part = jnp.dot(
+            y2.reshape(-1, LANE), w2_ref[:],
+            preferred_element_type=jnp.float32,
+        ).astype(fdtype).reshape(1, cr + 2, W, N_TAPS * GROWTH)
+        acc = jnp.zeros((1, cr, W, GROWTH), jnp.float32)
+        for tap in range(N_TAPS):
+            dy, dx = divmod(tap, 3)
+            sl = part[:, dy : dy + cr, :, GROWTH * tap : GROWTH * (tap + 1)]
+            acc = acc + _col_shift(sl, dx, W)
+        out_ref[b_ : b_ + 1, r0:r1] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def layer_train_fwd(
+    segs: tuple,          # G x (B, H, W, c_g); only the last c_g may be <128
+    w1: jax.Array,        # (C, 128) conv1 weights
+    scale1: jax.Array,    # (C,) norm1
+    bias1: jax.Array,     # (C,)
+    w2p: jax.Array,       # (128, 288) packed conv2 (conv2_pallas.pack_w2)
+    scale2: jax.Array,    # (128,) norm2
+    bias2: jax.Array,     # (128,)
+    *, interpret: bool = False, chunk: int = 16,
+):
+    """One train-mode dense layer (batch-BN over N, H, W; the trainer's
+    per-scene calls have N = 1 and vmap lifts the scene batch into the
+    Pallas grid). Returns (out32, h1, mean1, var1, mean2, var2) — h1
+    rounded to the compute dtype, the residual the backward consumes."""
+    G = len(segs)
+    B, H, W, _ = segs[0].shape
+    cs = tuple(int(s.shape[-1]) for s in segs)
+    C = sum(cs)
+    fdtype = segs[0].dtype
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _fwd_kernel, G=G, cs=cs, B=B, H=H, W=W, chunk=min(chunk, H),
+        fdtype=fdtype,
+    )
+    out, h1, m1, v1, m2, v2 = pl.pallas_call(
+        kern,
+        in_specs=[full] * (G + 6),
+        out_specs=[full] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, GROWTH), fdtype),
+            jax.ShapeDtypeStruct((B, H, W, LANE), fdtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((1, LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        *segs,
+        w1.astype(fdtype), scale1.astype(jnp.float32),
+        bias1.astype(jnp.float32), w2p.astype(fdtype),
+        scale2.astype(jnp.float32), bias2.astype(jnp.float32),
+    )
+    return out, h1, m1[0], v1[0], m2[0], v2[0]
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int,
+                chunk: int, fdtype):
+    segs = refs[:G]
+    (dout_ref, h1_ref, w1t_ref, w2t_ref, s1_ref, b1_ref, s2_ref, b2_ref,
+     mean1_ref, var1_ref, mean2_ref, var2_ref) = refs[G : G + 12]
+    outs = refs[G + 12:]
+    dsegs = outs[:G]
+    dw1_ref, dw2_ref, ds1_ref, db1_ref, ds2_ref, db2_ref, dh1_ref = outs[G:]
+    n = float(B * H * W)
+
+    m2_ = mean2_ref[:]
+    v2_ = var2_ref[:]
+    r2 = jax.lax.rsqrt(v2_ + BN_EPS)
+    a2 = s2_ref[:] * r2
+    b2 = b2_ref[:] - m2_ * a2
+
+    def dy2_rows(b_, r0, r1):
+        """dy2 = sum_tap shift_{1-dy,1-dx}(dout) @ w2_tap^T for image b_
+        rows [r0, r1): the transpose of the forward's shifted-slice
+        sum."""
+        cr = r1 - r0
+        acc = None
+        for tap in range(N_TAPS):
+            dy, dx = divmod(tap, 3)
+            # dpart_tap[h, w] = dout[h + 1 - dy, w + 1 - dx] (zero edges)
+            dwin = _row_window(dout_ref, b_, r0 + 1 - dy, r1 + 1 - dy, H)
+            sh = _col_shift(dwin, 2 - dx, W).astype(fdtype)
+            t = jnp.dot(
+                sh.reshape(-1, GROWTH),
+                w2t_ref[tap * GROWTH : (tap + 1) * GROWTH, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+        return acc.reshape(1, cr, W, LANE)
+
+    def u2_rows(b_, r0, r1):
+        return h1_ref[b_ : b_ + 1, r0:r1].astype(jnp.float32) * a2.reshape(
+            1, 1, 1, LANE
+        ) + b2.reshape(1, 1, 1, LANE)
+
+    # Stage-2 pass 1: BN2-backward moments + dw2 (tap-shifted dots).
+    s_du2 = jnp.zeros((LANE,), jnp.float32)
+    s_duh2 = jnp.zeros((LANE,), jnp.float32)
+    dw2_acc = [jnp.zeros((LANE, GROWTH), jnp.float32) for _ in range(N_TAPS)]
+    for b_, r0, r1 in _images_chunks(B, H, chunk):
+        u2 = u2_rows(b_, r0, r1)
+        dy2 = dy2_rows(b_, r0, r1)
+        du2 = jnp.where(u2 > 0, dy2, 0.0)
+        xhat2 = (
+            h1_ref[b_ : b_ + 1, r0:r1].astype(jnp.float32) - m2_
+        ) * r2
+        s_du2 = s_du2 + jnp.sum(du2, axis=(0, 1, 2))
+        s_duh2 = s_duh2 + jnp.sum(du2 * xhat2, axis=(0, 1, 2))
+        y2 = jnp.maximum(u2, 0.0).astype(fdtype).reshape(-1, LANE)
+        for tap in range(N_TAPS):
+            dy, dx = divmod(tap, 3)
+            dwin = _row_window(dout_ref, b_, r0 + 1 - dy, r1 + 1 - dy, H)
+            sh = _col_shift(dwin, 2 - dx, W).astype(fdtype)
+            dw2_acc[tap] = dw2_acc[tap] + jax.lax.dot_general(
+                y2, sh.reshape(-1, GROWTH),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    for tap in range(N_TAPS):
+        dw2_ref[tap] = dw2_acc[tap]
+    ds2_ref[0, :] = s_duh2
+    db2_ref[0, :] = s_du2
+    mu_du2 = (s_du2 / n).reshape(1, 1, 1, LANE)
+    mu_duh2 = (s_duh2 / n).reshape(1, 1, 1, LANE)
+
+    # Stage-2 pass 2: dh1 (recompute du2 — cheaper than storing it).
+    for b_, r0, r1 in _images_chunks(B, H, chunk):
+        u2 = u2_rows(b_, r0, r1)
+        du2 = jnp.where(u2 > 0, dy2_rows(b_, r0, r1), 0.0)
+        xhat2 = (
+            h1_ref[b_ : b_ + 1, r0:r1].astype(jnp.float32) - m2_
+        ) * r2
+        dh1_ref[b_ : b_ + 1, r0:r1] = (
+            a2.reshape(1, 1, 1, LANE)
+            * (du2 - mu_du2 - xhat2 * mu_duh2)
+        ).astype(fdtype)
+
+    # Stage 1, per prefix group: two recompute passes.
+    off = 0
+    for g in range(G):
+        c = cs[g]
+        m1g = mean1_ref[off : off + c]
+        v1g = var1_ref[off : off + c]
+        r1g = jax.lax.rsqrt(v1g + BN_EPS)
+        a1g = s1_ref[off : off + c] * r1g
+        b1g = b1_ref[off : off + c] - m1g * a1g
+
+        def u1_rows(b_, r0, r1, c=c, a1g=a1g, b1g=b1g, g=g):
+            return segs[g][b_ : b_ + 1, r0:r1].astype(jnp.float32) \
+                * a1g.reshape(1, 1, 1, c) + b1g.reshape(1, 1, 1, c)
+
+        s_du1 = jnp.zeros((c,), jnp.float32)
+        s_duh1 = jnp.zeros((c,), jnp.float32)
+        dw1_acc = jnp.zeros((c, LANE), jnp.float32)
+        for b_, r0, r1 in _images_chunks(B, H, chunk):
+            dh1 = dh1_ref[b_ : b_ + 1, r0:r1].reshape(-1, LANE)
+            u1 = u1_rows(b_, r0, r1)
+            y1 = jnp.maximum(u1, 0.0).astype(fdtype).reshape(-1, c)
+            dw1_acc = dw1_acc + jax.lax.dot_general(
+                y1, dh1.astype(fdtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dy1 = jnp.dot(
+                dh1.astype(fdtype), w1t_ref[:, off : off + c],
+                preferred_element_type=jnp.float32,
+            ).reshape(u1.shape)
+            du1 = jnp.where(u1 > 0, dy1, 0.0)
+            xhat1 = (
+                segs[g][b_ : b_ + 1, r0:r1].astype(jnp.float32) - m1g
+            ) * r1g
+            s_du1 = s_du1 + jnp.sum(du1, axis=(0, 1, 2))
+            s_duh1 = s_duh1 + jnp.sum(du1 * xhat1, axis=(0, 1, 2))
+        dw1_ref[off : off + c, :] = dw1_acc
+        ds1_ref[0, off : off + c] = s_duh1
+        db1_ref[0, off : off + c] = s_du1
+        mu_du1 = (s_du1 / n).reshape(1, 1, 1, c)
+        mu_duh1 = (s_duh1 / n).reshape(1, 1, 1, c)
+        for b_, r0, r1 in _images_chunks(B, H, chunk):
+            dh1 = dh1_ref[b_ : b_ + 1, r0:r1].reshape(-1, LANE)
+            u1 = u1_rows(b_, r0, r1)
+            dy1 = jnp.dot(
+                dh1.astype(fdtype), w1t_ref[:, off : off + c],
+                preferred_element_type=jnp.float32,
+            ).reshape(u1.shape)
+            du1 = jnp.where(u1 > 0, dy1, 0.0)
+            xhat1 = (
+                segs[g][b_ : b_ + 1, r0:r1].astype(jnp.float32) - m1g
+            ) * r1g
+            dsegs[g][b_ : b_ + 1, r0:r1] = (
+                a1g.reshape(1, 1, 1, c)
+                * (du1 - mu_du1 - xhat1 * mu_duh1)
+            ).astype(dsegs[g].dtype)
+        off += c
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def layer_train_bwd(
+    segs: tuple,          # G x (B, H, W, c_g) — the forward's inputs
+    dout: jax.Array,      # (B, H, W, 32) cotangent of the layer output
+    h1: jax.Array,        # (B, H, W, 128) saved residual (compute dtype)
+    w1: jax.Array,        # (C, 128)
+    w2p: jax.Array,       # (128, 288)
+    scale1: jax.Array, bias1: jax.Array,     # (C,)
+    scale2: jax.Array, bias2: jax.Array,     # (128,)
+    mean1: jax.Array, var1: jax.Array,       # (C,) saved batch moments
+    mean2: jax.Array, var2: jax.Array,       # (128,)
+    *, interpret: bool = False, chunk: int = 16,
+):
+    """Backward of layer_train_fwd. Returns
+    (dsegs tuple, dw1 (C,128), dw2p (128,288), dscale1, dbias1,
+    dscale2, dbias2)."""
+    G = len(segs)
+    B, H, W, _ = segs[0].shape
+    cs = tuple(int(s.shape[-1]) for s in segs)
+    C = sum(cs)
+    fdtype = segs[0].dtype
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _bwd_kernel, G=G, cs=cs, B=B, H=H, W=W, chunk=min(chunk, H),
+        fdtype=fdtype,
+    )
+    outs = pl.pallas_call(
+        kern,
+        in_specs=[full] * (G + 12),
+        out_specs=[full] * (G + 7),
+        out_shape=(
+            [jax.ShapeDtypeStruct((B, H, W, c), fdtype) for c in cs]
+            + [
+                jax.ShapeDtypeStruct((C, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((N_TAPS, LANE, GROWTH), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((1, LANE), jnp.float32),
+                # dh1 as an output (not scratch): interpret mode and the
+                # compiled path share the code; callers ignore it.
+                jax.ShapeDtypeStruct((B, H, W, LANE), fdtype),
+            ]
+        ),
+        interpret=interpret,
+    )(
+        *segs,
+        dout.astype(fdtype), h1.astype(fdtype),
+        # w1^T / per-tap-transposed w2p, precomputed here (in-kernel
+        # transposes lower poorly on Mosaic).
+        w1.astype(fdtype).T, w2p.astype(fdtype).T,
+        scale1.astype(jnp.float32), bias1.astype(jnp.float32),
+        scale2.astype(jnp.float32), bias2.astype(jnp.float32),
+        mean1.astype(jnp.float32), var1.astype(jnp.float32),
+        mean2.astype(jnp.float32), var2.astype(jnp.float32),
+    )
+    dsegs = tuple(outs[:G])
+    dw1, dw2t, ds1, db1, ds2, db2 = outs[G : G + 6]
+    # (9, 128, 32) -> (128, 288) packed layout.
+    dw2p = jnp.concatenate([dw2t[t] for t in range(N_TAPS)], axis=-1)
+    return (
+        dsegs, dw1, dw2p, ds1[0], db1[0], ds2[0], db2[0]
+    )
+
+
+def supported(B: int, H: int, W: int, C: int) -> bool:
+    """VMEM fit: prefix + dsegs (bf16/f32), h1 + dh1, dout,
+    double-buffered across the vmap grid."""
+    G = -(-C // LANE)
+    per = B * H * W * LANE * 4       # one f32-equivalent image tensor
+    # segs + dsegs (2G) at <=4B, h1 + dh1 + dout + chunk temps ~ 6 more.
+    return per * (2 * G + 6) * 2 <= 12_000_000

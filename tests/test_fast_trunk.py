@@ -194,7 +194,7 @@ def test_score_eval_parity(backend):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("conv2", ["conv", "taps", "vjp"])
+@pytest.mark.parametrize("conv2", ["conv", "taps", "vjp", "pk"])
 def test_score_train_parity_and_grads(conv2):
     """score_train == the Flax train-mode pipeline: outputs, mutated BN
     statistics, and parameter gradients — for the XLA-conv lowering, the
