@@ -48,6 +48,20 @@ def main() -> None:
     ap.add_argument("--testing", action="store_true",
                     help="evaluate on the held-out testing catalog")
     ap.add_argument("--seed", type=int, default=123)
+    # Hardening arms (VERDICT r4 weak #6: the noise-free ortho benchmark
+    # is saturated at mIoU 1.0 and cannot fail):
+    ap.add_argument("--depth_noise", type=float, default=0.0,
+                    help="additive Gaussian depth noise sigma (m) on the "
+                    "segmenter INPUT only (ground truth stays exact); "
+                    "simulated depth sensors are ~0.001-0.01")
+    ap.add_argument("--perspective", action="store_true",
+                    help="feed the segmenter heightmaps produced by the "
+                    "perspective raycaster + pointcloud + homography "
+                    "pipeline (render/persp.py + core/camera.py — the "
+                    "reference's camera path, utils.py:38-68) instead of "
+                    "the exact ortho render: interpolation artifacts and "
+                    "perspective occlusion are the distribution shift the "
+                    "reference's COCO-pretrained Mask-R-CNN had to absorb")
     args = ap.parse_args()
 
     from smg_tpu.envs import smg_env
@@ -67,12 +81,35 @@ def main() -> None:
     render = jax.jit(jax.vmap(lambda o: ortho.render_heightmap(o)))
     depth, ids, color = render(scenes.objects)
 
+    # Segmenter INPUTS may go through a harder path; the id-buffer ground
+    # truth above stays exact.
+    in_color, in_depth = color, depth
+    if args.perspective:
+        from smg_tpu.core import camera as cam
+        from smg_tpu.render import persp
+
+        camera = cam.Camera.overhead()
+
+        def persp_hm(o):
+            c_img, d_img = persp.render_rgbd(o, camera)
+            c_hm, d_hm, _, _, _ = cam.get_heightmap(
+                c_img, d_img, camera.intrinsics, camera.pose
+            )
+            return c_hm, d_hm
+
+        in_color, in_depth = jax.jit(jax.vmap(persp_hm))(scenes.objects)
+    if args.depth_noise > 0.0:
+        nkey = jax.random.PRNGKey(args.seed + 1)
+        in_depth = in_depth + args.depth_noise * jax.random.normal(
+            nkey, in_depth.shape
+        )
+
     def pred_one(c, d):
         x = learned.segmenter_inputs(c, d)[None]
         logits = model.apply({"params": params}, x, False)[0]
         return jnp.argmax(logits, axis=-1) - 1  # (H, W), -1 = bg
 
-    pred = jax.jit(jax.vmap(pred_one))(color, depth)
+    pred = jax.jit(jax.vmap(pred_one))(in_color, in_depth)
 
     ids = np.asarray(ids)
     pred = np.asarray(pred)
@@ -105,6 +142,8 @@ def main() -> None:
         "scenes": args.scenes,
         "catalog": "testing" if args.testing else "training",
         "cluttered": bool(args.cluttered),
+        "depth_noise": args.depth_noise,
+        "perspective": bool(args.perspective),
         "visible_objects": visible,
         "miou": round(float(np.mean(ious)) if ious else 0.0, 4),
         "detection_rate_iou50": round(detected / max(visible, 1), 4),
