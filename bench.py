@@ -151,20 +151,26 @@ def bench_physics() -> float:
         )(ks)
         return stepper.run_steps_batched(b, b.gripper, 50)
 
+    t0 = time.time()
     batch = jax.block_until_ready(jax.jit(_reset)(keys))
+    _progress(f"physics reset done +{time.time() - t0:.0f}s")
     roll = jax.jit(
         lambda b: stepper.run_steps_batched(b, b.gripper, steps_per_call)
     )
     # Self-feeding rollout: time with the output as the next input.
     batch = roll(batch)
     _readback(batch)  # drain the queue (block_until_ready returns early
-    n_calls = 10      # on this platform — see _readback)
+    n_calls = 4       # on this platform — see _readback); the number has
+    # been stable for four rounds (1.85-2.15M), so 4 timed calls instead
+    # of round 4's 10 — the leg ate 376-429 s of an 1140 s budget
+    # (VERDICT r4 weak #1) and the late legs paid for it.
+    _progress(f"physics warm done +{time.time() - t0:.0f}s")
     rb = _rb_cost(batch)
-    t0 = time.perf_counter()
+    t0p = time.perf_counter()
     for _ in range(n_calls):
         batch = roll(batch)
     _readback(batch)
-    dt = max(time.perf_counter() - t0 - rb, 1e-9)
+    dt = max(time.perf_counter() - t0p - rb, 1e-9)
     return n_calls * steps_per_call * B / dt
 
 
