@@ -88,10 +88,10 @@ def main() -> None:
         from smg_tpu.core import camera as cam
         from smg_tpu.render import persp
 
-        camera = cam.Camera.overhead()
+        camera = cam.Camera.reference_overhead()
 
         def persp_hm(o):
-            c_img, d_img = persp.render_rgbd(o, camera)
+            c_img, d_img, _ = persp.render_reference_rgbd(o, camera)
             c_hm, d_hm, _, _, _ = cam.get_heightmap(
                 c_img, d_img, camera.intrinsics, camera.pose
             )

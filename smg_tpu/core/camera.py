@@ -86,6 +86,44 @@ class Camera:
             intrinsics=jnp.asarray(DEFAULT_INTRINSICS), pose=pose
         )
 
+    @staticmethod
+    def reference_overhead() -> "Camera":
+        """The overhead camera whose fliplr'd image maps the workspace
+        exactly onto ROI_SRC.
+
+        The reference reads the camera pose from its sim scene
+        (robot.py:86-103, scene binary not in the repo) and flips the
+        raw frames (robot.py:226,234); its hardcoded ROI corners
+        (utils.py:49-50) therefore pin the pose: the workspace x-span
+        [-0.724, -0.276] must land at post-flip columns [110, 510] and
+        the y-span at rows [0, 400]. Solving the pinhole model for the
+        `overhead` rotation gives height fx * 0.448 / 400 = 0.6929 m and
+        a center offset of (+0.0101, +0.0448) from the workspace center.
+        Use with `persp.render_reference_rgbd` (which applies the flip)
+        to drive `get_heightmap` in exact reference geometry —
+        Camera.overhead's 0.5 m default does NOT reproduce ROI_SRC.
+        """
+        fx = float(DEFAULT_INTRINSICS[0, 0])
+        cx = float(DEFAULT_INTRINSICS[0, 2])
+        cy = float(DEFAULT_INTRINSICS[1, 2])
+        x_min, x_max = float(WORKSPACE_LIMITS[0, 0]), float(
+            WORKSPACE_LIMITS[0, 1]
+        )
+        y_min = float(WORKSPACE_LIMITS[1, 0])
+        # Post-flip columns u = (W - 1) - px; ROI_SRC x corners 110/510.
+        u0, u1 = float(ROI_SRC[0, 0]), float(ROI_SRC[2, 0])
+        v0 = float(ROI_SRC[0, 1])
+        px0 = (IMAGE_W - 1) - u0          # pre-flip column of x_min
+        px1 = (IMAGE_W - 1) - u1          # pre-flip column of x_max
+        height = fx * (x_max - x_min) / (px0 - px1)
+        x0 = x_min + (px0 - cx) * height / fx
+        y0 = y_min + (cy - v0) * height / fx
+        R = rot.angle_axis2rotm(jnp.pi, jnp.array([0.0, 1.0, 0.0]))
+        pose = jnp.eye(4)
+        pose = pose.at[:3, :3].set(R)
+        pose = pose.at[:3, 3].set(jnp.array([x0, y0, height]))
+        return Camera(intrinsics=jnp.asarray(DEFAULT_INTRINSICS), pose=pose)
+
 
 def get_pointcloud(
     depth_img: jax.Array, intrinsics: jax.Array

@@ -80,3 +80,16 @@ def render_rgbd(
         TABLE_COLOR[None, :],
     )
     return color.reshape(height, width, 3), depth.reshape(height, width)
+
+
+def render_reference_rgbd(obj: Objects, camera: cam.Camera | None = None):
+    """The frames the reference's `get_camera_data` returns: render
+    through the ROI-consistent camera and fliplr both buffers
+    (reference code/robot.py:218-241 flips the sim sensor's images;
+    utils.py:49-50's ROI corners are calibrated on the flipped frames).
+    Feed the result to `core.camera.get_heightmap` with the same
+    camera's intrinsics/pose for exact reference heightmap geometry."""
+    if camera is None:
+        camera = cam.Camera.reference_overhead()
+    color, depth = render_rgbd(obj, camera)
+    return color[:, ::-1], depth[:, ::-1], camera

@@ -131,6 +131,34 @@ class TestPersp:
         center_val = float(dhm[112, 112])
         assert abs(center_val - 0.04) < 5e-3, center_val
 
+    def test_reference_camera_heightmap_alignment(self):
+        """reference_overhead + fliplr'd frames + get_heightmap land an
+        OFF-CENTER object on the same workspace-grid pixels as the ortho
+        renderer (the centered-box test above cannot catch a flip or a
+        wrong camera height — round 5 found Camera.overhead's 0.5 m
+        default maps objects ~90 px away from their ortho positions)."""
+        obj = make_objects(
+            [(shapes.BOX, (0.03, 0.03, 0.02), (-0.6, 0.1, 0.02), 0.0)]
+        )
+        camera = cam.Camera.reference_overhead()
+        color, depth, _ = persp.render_reference_rgbd(obj, camera)
+        chm, dhm, _, _, _ = cam.get_heightmap(
+            color, depth, camera.intrinsics, camera.pose
+        )
+        de, _, _ = ortho.render_heightmap(obj)
+        got = np.asarray(dhm > 0.01)
+        ref = np.asarray(de > 0.01)
+        gy, gx = np.nonzero(got)
+        ry, rx = np.nonzero(ref)
+        assert len(gy) > 0 and len(ry) > 0
+        # Center of mass within a few pixels (perspective parallax of a
+        # 0.04 m-tall object seen ~0.1 m off-axis is ~2 px — physical).
+        assert abs(gy.mean() - ry.mean()) < 4.0, (gy.mean(), ry.mean())
+        assert abs(gx.mean() - rx.mean()) < 4.0, (gx.mean(), rx.mean())
+        inter = (got & ref).sum()
+        union = (got | ref).sum()
+        assert inter / max(union, 1) > 0.6
+
 
 class TestMinRect:
     @pytest.mark.parametrize("yaw", [0.0, 0.3, np.pi / 4, 1.2])
