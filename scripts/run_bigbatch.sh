@@ -47,6 +47,7 @@ if [ -d "$snap" ]; then
   LABELS+=("eses_drl_lc_b$BATCH-test")
 fi
 
+OUT_MD="${OUT_MD:-RESULTS_bigbatch.md}"
 python scripts/analyze_results.py "${RUNS[@]}" \
-  --labels "$(IFS=,; echo "${LABELS[*]}")" --out RESULTS_bigbatch.md
-echo "RESULTS_bigbatch.md written"
+  --labels "$(IFS=,; echo "${LABELS[*]}")" --out "$OUT_MD"
+echo "$OUT_MD written"
