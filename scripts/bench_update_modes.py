@@ -93,7 +93,13 @@ def main() -> None:
             parts = spec.split(":")
             ft, c2 = parts[0], parts[1]
             chunk = int(parts[2]) if len(parts) > 2 else None
-            bench(ft, c2, scene_chunk=chunk)
+            try:
+                bench(ft, c2, scene_chunk=chunk)
+            except Exception as e:  # one broken mode must not eat the rest
+                print(json.dumps({
+                    "fast_train": ft, "conv2": c2,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }), flush=True)
         return
     bench("off", "conv")
     bench("on", "conv")

@@ -75,40 +75,51 @@ def main() -> None:
         run(name, lambda: dtp.layer_train_fwd(
             segs, w1, s1, b1, w2p, s2, b2
         ))
-        out = dtp.layer_train_fwd(segs, w1, s1, b1, w2p, s2, b2)
-        _, h1, m1, v1, m2, v2 = out
-        dout = jnp.ones((1, H, W, 32), jnp.bfloat16)
-        run(f"bwd {H}x{W} C={C}", lambda: dtp.layer_train_bwd(
-            segs, dout, h1, w1, w2p, s1, b1, s2, b2, m1, v1, m2, v2
-        ))
+
+        def bwd_case(segs=segs, w1=w1, s1=s1, b1=b1, w2p=w2p, s2=s2, b2=b2,
+                     H=H, W=W):
+            # fwd inside the protected call: a fwd lowering failure must
+            # not kill the remaining cases (it did on 2026-08-20).
+            _, h1, m1, v1, m2, v2 = dtp.layer_train_fwd(
+                segs, w1, s1, b1, w2p, s2, b2
+            )
+            dout = jnp.ones((1, H, W, 32), jnp.bfloat16)
+            return dtp.layer_train_bwd(
+                segs, dout, h1, w1, w2p, s1, b1, s2, b2, m1, v1, m2, v2
+            )
+
+        run(f"bwd {H}x{W} C={C}", bwd_case)
 
     # The trainer's structure: vmap over a scene chunk of grad-carrying
     # per-scene layers (custom VJP -> both kernels inside one program).
-    H = W = 56
-    cs = (128, 96)
-    C = sum(cs)
-    kp, kx = jax.random.split(key)
-    p = {
-        "norm1": {"scale": jnp.ones((C,)), "bias": jnp.zeros((C,))},
-        "conv1": {"kernel": jax.random.normal(kp, (1, 1, C, 128)) * 0.05},
-        "norm2": {"scale": jnp.ones((128,)), "bias": jnp.zeros((128,))},
-        "conv2": {"kernel": jax.random.normal(kx, (3, 3, 128, 32)) * 0.05},
-    }
-    xs = jax.random.normal(kx, (8, 1, H, W, cs[0]), jnp.float32).astype(
-        jnp.bfloat16
-    )
-    ys = jax.random.normal(kp, (8, 1, H, W, cs[1]), jnp.float32).astype(
-        jnp.bfloat16
-    )
+    # Two shapes: a mid-block one, and block3's deep prefix — the
+    # lane-unaligned C=992 whose vmapped per-scene moment vectors broke
+    # Mosaic's block rules on 2026-08-20 (update_modes pk crash).
+    for H, cs in ((28, (128, 128, 64)), (14, (128,) * 7 + (96,))):
+        W = H
+        C = sum(cs)
+        kp, kx = jax.random.split(key)
+        p = {
+            "norm1": {"scale": jnp.ones((C,)), "bias": jnp.zeros((C,))},
+            "conv1": {"kernel": jax.random.normal(kp, (1, 1, C, 128)) * 0.05},
+            "norm2": {"scale": jnp.ones((128,)), "bias": jnp.zeros((128,))},
+            "conv2": {"kernel": jax.random.normal(kx, (3, 3, 128, 32)) * 0.05},
+        }
+        xs = tuple(
+            jax.random.normal(
+                jax.random.fold_in(kx, i), (8, 1, H, W, c), jnp.float32
+            ).astype(jnp.bfloat16)
+            for i, c in enumerate(cs)
+        )
 
-    def loss(p_):
-        def one(x, y):
-            out, _ = fast_trunk._layer_vjp_pk((x, y), p_, jnp.bfloat16)
-            return jnp.sum(out.astype(jnp.float32) ** 2)
-        return jnp.sum(jax.vmap(one)(xs, ys))
+        def loss(p_, xs=xs):
+            def one(*segs1):
+                out, _ = fast_trunk._layer_vjp_pk(segs1, p_, jnp.bfloat16)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+            return jnp.sum(jax.vmap(one)(*xs))
 
-    run("vmap(8) grad 56x56 C=224",
-        lambda: jax.jit(jax.grad(loss))(p))
+        run(f"vmap(8) grad {H}x{W} C={C}",
+            lambda loss=loss: jax.jit(jax.grad(loss))(p))
 
 
 if __name__ == "__main__":

@@ -808,7 +808,12 @@ def _dense_layer_train_pk(p: dict, s: dict, segs: list, dtype):
     B, H, W = segs[0].shape[:3]
     C = sum(x.shape[-1] for x in segs)
     if not dtp.supported(B, H, W, C):
-        return _dense_layer_train_vjp(p, s, segs, dtype)
+        # Over-VMEM shapes (block 1's 56x56 maps at 224): XLA autodiff of
+        # the conv form — the best measured non-Pallas mode (204.2 ms
+        # whole-trunk vs the jnp VJP's 411.8, r4 AOT matrix) — NOT the
+        # vjp path, whose elementwise HBM recomputes are worst exactly
+        # on the largest feature maps.
+        return _dense_layer_train(p, s, segs, dtype, "conv")
     out, (mean1, var1, mean2, var2) = _layer_vjp_pk(tuple(segs), p, dtype)
     ra = lambda ns, mean, var: {
         "mean": BN_MOMENTUM * ns["mean"]

@@ -88,12 +88,20 @@ def _images_chunks(B: int, H: int, chunk: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int,
+def _fwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int, Wi: int,
                 chunk: int, fdtype):
     segs = refs[:G]
     w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref = refs[G : G + 6]
     out_ref, h1_ref, mean1_ref, var1_ref, mean2_ref, var2_ref = refs[G + 6:]
-    n = float(B * H * W)
+    # Batch-BN statistics run over the REAL width Wi; pad columns (the
+    # wrapper zero-pads W up to the sublane multiple) hold x = 0 and are
+    # masked out of every post-BN activation below, so they contribute
+    # zero to all sums.
+    n = float(B * H * Wi)
+    colmask = (
+        None if Wi == W
+        else jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2) < Wi
+    )
 
     # Pass 1: batch-BN1 moments per prefix group (over N, H, W).
     a1s, b1s = [], []
@@ -123,6 +131,11 @@ def _fwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int,
                 x * a1s[g].reshape(1, 1, 1, c) + b1s[g].reshape(1, 1, 1, c),
                 0.0,
             ).astype(fdtype)
+            # Pad columns: BN maps x = 0 to relu(b1) != 0 — mask back to
+            # zero so h1's pad columns stay exactly zero (BN2 statistics
+            # and the conv edge both depend on it).
+            if colmask is not None:
+                y = jnp.where(colmask, y, 0)
             t = jnp.dot(
                 y.reshape(-1, c), w1_ref[off : off + c, :],
                 preferred_element_type=jnp.float32,
@@ -151,13 +164,16 @@ def _fwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int,
         cr = r1 - r0
         hwin = _row_window(h1_ref, b_, r0 - 1, r1 + 1, H).astype(jnp.float32)
         y2 = jnp.maximum(hwin * a2r + b2r, 0.0).astype(fdtype)
-        # Out-of-image window rows hold raw zeros, which BN maps to
-        # relu(b2) != 0 — mask them back to the conv's zero padding.
+        # Out-of-image window rows (and pad columns) hold raw zeros,
+        # which BN maps to relu(b2) != 0 — mask them back to the conv's
+        # zero padding.
         img = (
             jax.lax.broadcasted_iota(jnp.int32, y2.shape[:3] + (1,), 1)
             + r0 - 1
         )
         y2 = jnp.where((img >= 0) & (img < H), y2, 0)
+        if colmask is not None:
+            y2 = jnp.where(colmask, y2, 0)
         part = jnp.dot(
             y2.reshape(-1, LANE), w2_ref[:],
             preferred_element_type=jnp.float32,
@@ -186,13 +202,21 @@ def layer_train_fwd(
     Pallas grid). Returns (out32, h1, mean1, var1, mean2, var2) — h1
     rounded to the compute dtype, the residual the backward consumes."""
     G = len(segs)
-    B, H, W, _ = segs[0].shape
+    B, H, Wi, _ = segs[0].shape
+    # Sublane-align the width (224's 28/14/7 maps): zero pad columns,
+    # masked inside the kernel, sliced back off here — same scheme as the
+    # eval kernels (dense_layer_pallas.dense_block_fused).
+    W = -(-Wi // 8) * 8
+    if W != Wi:
+        segs = tuple(
+            jnp.pad(s, ((0, 0), (0, 0), (0, W - Wi), (0, 0))) for s in segs
+        )
     cs = tuple(int(s.shape[-1]) for s in segs)
     C = sum(cs)
     fdtype = segs[0].dtype
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = functools.partial(
-        _fwd_kernel, G=G, cs=cs, B=B, H=H, W=W, chunk=min(chunk, H),
+        _fwd_kernel, G=G, cs=cs, B=B, H=H, W=W, Wi=Wi, chunk=min(chunk, H),
         fdtype=fdtype,
     )
     out, h1, m1, v1, m2, v2 = pl.pallas_call(
@@ -214,6 +238,8 @@ def layer_train_fwd(
         bias1.astype(jnp.float32), w2p.astype(fdtype),
         scale2.astype(jnp.float32), bias2.astype(jnp.float32),
     )
+    if W != Wi:
+        out, h1 = out[:, :, :Wi], h1[:, :, :Wi]
     return out, h1, m1[0], v1[0], m2[0], v2[0]
 
 
@@ -222,7 +248,7 @@ def layer_train_fwd(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int,
+def _bwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int, Wi: int,
                 chunk: int, fdtype):
     segs = refs[:G]
     (dout_ref, h1_ref, w1t_ref, w2t_ref, s1_ref, b1_ref, s2_ref, b2_ref,
@@ -230,10 +256,19 @@ def _bwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int,
     outs = refs[G + 12:]
     dsegs = outs[:G]
     dw1_ref, dw2_ref, ds1_ref, db1_ref, ds2_ref, db2_ref, dh1_ref = outs[G:]
-    n = float(B * H * W)
+    # Pad columns (wrapper zero-pads W to the sublane multiple): x, h1
+    # and dout are zero there, but the column shifts can move real dout
+    # values INTO pad columns and BN maps zeros to nonzero activations —
+    # so y2/du2/dh1 are masked back to zero at pad columns, which
+    # propagates zero pad contributions through every reduction below.
+    n = float(B * H * Wi)
+    colmask = (
+        None if Wi == W
+        else jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2) < Wi
+    )
 
-    m2_ = mean2_ref[:]
-    v2_ = var2_ref[:]
+    m2_ = mean2_ref[0]
+    v2_ = var2_ref[0]
     r2 = jax.lax.rsqrt(v2_ + BN_EPS)
     a2 = s2_ref[:] * r2
     b2 = b2_ref[:] - m2_ * a2
@@ -270,12 +305,17 @@ def _bwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int,
         u2 = u2_rows(b_, r0, r1)
         dy2 = dy2_rows(b_, r0, r1)
         du2 = jnp.where(u2 > 0, dy2, 0.0)
+        if colmask is not None:
+            du2 = jnp.where(colmask, du2, 0.0)
         xhat2 = (
             h1_ref[b_ : b_ + 1, r0:r1].astype(jnp.float32) - m2_
         ) * r2
         s_du2 = s_du2 + jnp.sum(du2, axis=(0, 1, 2))
         s_duh2 = s_duh2 + jnp.sum(du2 * xhat2, axis=(0, 1, 2))
-        y2 = jnp.maximum(u2, 0.0).astype(fdtype).reshape(-1, LANE)
+        y2 = jnp.maximum(u2, 0.0).astype(fdtype)
+        if colmask is not None:
+            y2 = jnp.where(colmask, y2, 0)
+        y2 = y2.reshape(-1, LANE)
         for tap in range(N_TAPS):
             dy, dx = divmod(tap, 3)
             dwin = _row_window(dout_ref, b_, r0 + 1 - dy, r1 + 1 - dy, H)
@@ -296,20 +336,24 @@ def _bwd_kernel(*refs, G: int, cs: tuple, B: int, H: int, W: int,
     for b_, r0, r1 in _images_chunks(B, H, chunk):
         u2 = u2_rows(b_, r0, r1)
         du2 = jnp.where(u2 > 0, dy2_rows(b_, r0, r1), 0.0)
+        if colmask is not None:
+            du2 = jnp.where(colmask, du2, 0.0)
         xhat2 = (
             h1_ref[b_ : b_ + 1, r0:r1].astype(jnp.float32) - m2_
         ) * r2
-        dh1_ref[b_ : b_ + 1, r0:r1] = (
-            a2.reshape(1, 1, 1, LANE)
-            * (du2 - mu_du2 - xhat2 * mu_duh2)
-        ).astype(fdtype)
+        dh1 = a2.reshape(1, 1, 1, LANE) * (du2 - mu_du2 - xhat2 * mu_duh2)
+        if colmask is not None:
+            # -mu_du2 - xhat2*mu_duh2 is nonzero even where du2 = 0:
+            # pad columns must carry dh1 = 0 into stage 1's reductions.
+            dh1 = jnp.where(colmask, dh1, 0.0)
+        dh1_ref[b_ : b_ + 1, r0:r1] = dh1.astype(fdtype)
 
     # Stage 1, per prefix group: two recompute passes.
     off = 0
     for g in range(G):
         c = cs[g]
-        m1g = mean1_ref[off : off + c]
-        v1g = var1_ref[off : off + c]
+        m1g = mean1_ref[0, off : off + c]
+        v1g = var1_ref[0, off : off + c]
         r1g = jax.lax.rsqrt(v1g + BN_EPS)
         a1g = s1_ref[off : off + c] * r1g
         b1g = b1_ref[off : off + c] - m1g * a1g
@@ -380,13 +424,19 @@ def layer_train_bwd(
     (dsegs tuple, dw1 (C,128), dw2p (128,288), dscale1, dbias1,
     dscale2, dbias2)."""
     G = len(segs)
-    B, H, W, _ = segs[0].shape
+    B, H, Wi, _ = segs[0].shape
+    W = -(-Wi // 8) * 8
+    if W != Wi:
+        pad = ((0, 0), (0, 0), (0, W - Wi), (0, 0))
+        segs = tuple(jnp.pad(s, pad) for s in segs)
+        dout = jnp.pad(dout, pad)
+        h1 = jnp.pad(h1, pad)
     cs = tuple(int(s.shape[-1]) for s in segs)
     C = sum(cs)
     fdtype = segs[0].dtype
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = functools.partial(
-        _bwd_kernel, G=G, cs=cs, B=B, H=H, W=W, chunk=min(chunk, H),
+        _bwd_kernel, G=G, cs=cs, B=B, H=H, W=W, Wi=Wi, chunk=min(chunk, H),
         fdtype=fdtype,
     )
     outs = pl.pallas_call(
@@ -416,10 +466,18 @@ def layer_train_bwd(
         w1.astype(fdtype).T, w2p.astype(fdtype).T,
         scale1.astype(jnp.float32), bias1.astype(jnp.float32),
         scale2.astype(jnp.float32), bias2.astype(jnp.float32),
-        mean1.astype(jnp.float32), var1.astype(jnp.float32),
-        mean2.astype(jnp.float32), var2.astype(jnp.float32),
+        # Moments as (1, C) 2D: a vmapped 1D (C,) operand becomes a
+        # (scenes, C) array whose Squeezed+C block fails Mosaic's tiling
+        # rules for lane-unaligned C (e.g. 992); (1, C) blocks are exempt
+        # (block == array dims).
+        mean1.astype(jnp.float32).reshape(1, -1),
+        var1.astype(jnp.float32).reshape(1, -1),
+        mean2.astype(jnp.float32).reshape(1, -1),
+        var2.astype(jnp.float32).reshape(1, -1),
     )
-    dsegs = tuple(outs[:G])
+    dsegs = tuple(
+        d[:, :, :Wi] if W != Wi else d for d in outs[:G]
+    )
     dw1, dw2t, ds1, db1, ds2, db2 = outs[G : G + 6]
     # (9, 128, 32) -> (128, 288) packed layout.
     dw2p = jnp.concatenate([dw2t[t] for t in range(N_TAPS)], axis=-1)
@@ -432,6 +490,7 @@ def supported(B: int, H: int, W: int, C: int) -> bool:
     """VMEM fit: prefix + dsegs (bf16/f32), h1 + dh1, dout,
     double-buffered across the vmap grid."""
     G = -(-C // LANE)
+    W = -(-W // 8) * 8               # wrapper pads width to the sublane
     per = B * H * W * LANE * 4       # one f32-equivalent image tensor
     # segs + dsegs (2G) at <=4B, h1 + dh1 + dout + chunk temps ~ 6 more.
     return per * (2 * G + 6) * 2 <= 12_000_000

@@ -51,10 +51,13 @@ def _segs(key, H, W, cs, dtype):
 
 @pytest.mark.parametrize("cs", [(64,), (128, 96), (128, 128)])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_fwd_matches_taps_forward(cs, dtype):
+# 12 pads to 16; 7 is block 4's width at the 224 training shape — the
+# unaligned case that must round-trip the kernel's pad-column masking.
+@pytest.mark.parametrize("HW", [12, 7])
+def test_fwd_matches_taps_forward(cs, dtype, HW):
     key = jax.random.PRNGKey(0)
     ks, kp = jax.random.split(key)
-    H = W = 12
+    H = W = HW
     segs = _segs(ks, H, W, cs, dtype)
     p = _layer_params(kp, sum(cs))
 
@@ -71,12 +74,13 @@ def test_fwd_matches_taps_forward(cs, dtype):
 
 
 @pytest.mark.parametrize("cs", [(64,), (128, 96)])
-def test_bwd_matches_jnp_vjp(cs):
+@pytest.mark.parametrize("HW", [12, 7])
+def test_bwd_matches_jnp_vjp(cs, HW):
     """Gradients of sum(out^2) through the pk layer == the jnp VJP layer
     (f32: both follow the identical op/rounding structure)."""
     key = jax.random.PRNGKey(1)
     ks, kp = jax.random.split(key)
-    H = W = 12
+    H = W = HW
     dtype = jnp.float32
     segs = _segs(ks, H, W, cs, dtype)
     p = _layer_params(kp, sum(cs))
