@@ -79,6 +79,11 @@ class TrainConfig:
     # 'auto' = on for the DenseNet-121 trunk on TPU, off elsewhere.
     fast_train: str = "auto"
     fast_train_conv2: str = "conv"
+    # Styled-dispatch form: 'auto' unrolls all three styles on CPU (grad-
+    # carrying control flow is ~35x slower there) and uses the
+    # style-sorted chunked dispatch on TPU. 'on'/'off' force it — 'off'
+    # exists mainly so CPU tests can exercise the TPU (chunked) path.
+    unroll_styles: str = "auto"
 
 
 @struct.dataclass
@@ -492,6 +497,8 @@ class Trainer:
 
     @property
     def _unroll_styles(self) -> bool:
+        if self.cfg.unroll_styles != "auto":
+            return self.cfg.unroll_styles == "on"
         return jax.default_backend() == "cpu"
 
     @property
@@ -524,25 +531,52 @@ class Trainer:
         )
 
     def _style_chunks(self, arrays: tuple, styles: jax.Array):
-        """Sort per-scene arrays by style and reshape to (n_chunks, C, ...).
+        """Scatter per-scene arrays into style-PURE chunks of width C.
 
-        Returns (chunked_arrays, chunked_styles, inverse_order, B). Padding
-        (when C does not divide B) repeats the last sorted scene, keeping
-        the tail chunk style-uniform; padded lanes are dropped on unsort.
+        Returns (chunked_arrays (N, C, ...), chunked_styles (N, C),
+        flat_pos (B,) — scene j's flat position in the (N*C,) layout).
+        Every chunk is style-uniform BY CONSTRUCTION: each style's scenes
+        occupy its own run of chunks (N = ceil(B/C) + 2 covers the worst
+        ceil-sum over 3 styles), so consumers run exactly ONE styled
+        trunk pass per chunk. The previous sorted-reshape layout left up
+        to two chunks straddling style boundaries, and each such chunk
+        evaluated all three styled trunks — ~2x the executed trunk work
+        at batch 32 / chunk 8. Unused lanes hold zeros (valid=False
+        scatters to False); callers gather real scenes via flat_pos.
         """
         B = styles.shape[0]
         C = min(self.cfg.scene_chunk, B)
+        N = -(-B // C) + 2
+        i32 = jnp.int32
         order = jnp.argsort(styles)           # stable
-        inv = jnp.argsort(order)
-        pad = (-B) % C
+        ss = styles[order].astype(i32)
+        counts = jnp.stack(
+            [(styles == i).sum() for i in range(3)]
+        ).astype(i32)                          # scenes per style
+        chunks_per = -(-counts // C)           # chunks per style
+        chunk_off = jnp.concatenate(
+            [jnp.zeros((1,), i32), jnp.cumsum(chunks_per)[:2]]
+        )                                      # first chunk of each style
+        start = jnp.concatenate(
+            [jnp.zeros((1,), i32), jnp.cumsum(counts)[:2]]
+        )                                      # first sorted index per style
+        k = jnp.arange(B, dtype=i32)
+        rank = k - start[ss]                   # rank within own style
+        pos = chunk_off[ss] * C + rank         # flat destination
 
         def prep(x):
-            x = x[order]
-            if pad:
-                x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
-            return x.reshape((x.shape[0] // C, C) + x.shape[1:])
+            xs = x[order]
+            flat = jnp.zeros((N * C,) + x.shape[1:], x.dtype).at[pos].set(xs)
+            return flat.reshape((N, C) + x.shape[1:])
 
-        return tuple(prep(a) for a in arrays), prep(styles), inv, B
+        c_idx = jnp.arange(N, dtype=i32)
+        chunk_style = (
+            (c_idx >= chunk_off[1]).astype(i32)
+            + (c_idx >= chunk_off[2]).astype(i32)
+        ).astype(styles.dtype)                 # zero-count styles collapse
+        st = jnp.broadcast_to(chunk_style[:, None], (N, C))
+        flat_pos = jnp.zeros((B,), i32).at[order].set(pos)
+        return tuple(prep(a) for a in arrays), st, flat_pos, B
 
     def _eval_styled(self, params, stats, scene_depths, exec_masks, styles,
                      rotations=None):
@@ -583,37 +617,21 @@ class Trainer:
                 [outs[0], outs[1]], outs[2],
             )
 
-        (sd, em, ro), st, inv, B = self._style_chunks(
+        (sd, em, ro), st, flat_pos, B = self._style_chunks(
             (scene_depths, exec_masks, rotations), styles
         )
 
         def chunk_fn(args):
             sd_c, em_c, ro_c, st_c = args
             scene_imgs, mask_imgs = jax.vmap(prep_one)(sd_c, em_c, ro_c)
-
-            def eval_style(s):
-                out = self._apply_styled(
-                    params, stats, scene_imgs, mask_imgs[:, None], s
-                )  # (C, 1, num_out)
-                return self._postprocess(out[:, 0])[:, 0]
-
-            s0 = st_c[0]
-            uniform = jnp.all(st_c == s0)
-
-            # Both branches route through lax.map so the trunk body is
-            # one shared computation: uniform = 1 trip at s0, mixed = 3
-            # trips + per-scene select.
-            def br_uniform(_):
-                return jax.lax.map(eval_style, s0[None])[0]
-
-            def br_mixed(_):
-                outs = jax.lax.map(eval_style, jnp.arange(3))  # (3, C)
-                return outs[st_c, jnp.arange(st_c.shape[0])]
-
-            return jax.lax.cond(uniform, br_uniform, br_mixed, None)
+            # Chunks are style-pure by construction: one styled call.
+            out = self._apply_styled(
+                params, stats, scene_imgs, mask_imgs[:, None], st_c[0]
+            )  # (C, 1, num_out)
+            return self._postprocess(out[:, 0])[:, 0]
 
         vals = jax.lax.map(chunk_fn, (sd, em, ro, st)).reshape(-1)
-        return vals[:B][inv]
+        return vals[flat_pos]
 
     # ------------------------------------------------------------------
     # Update (trainer.backprop)
@@ -690,35 +708,11 @@ class Trainer:
 
             def chunk_fn(args):
                 sd_c, em_c, valid_c, label_c, st_c = args
-                C = st_c.shape[0]
-
-                def eval_style(s):
-                    return jax.vmap(
-                        lambda sd1, em1: one_scene(s, sd1, em1)
-                    )(sd_c, em_c)
-
-                s0 = st_c[0]
-                uniform = jnp.all(st_c == s0)
-
-                # Shared trunk body via lax.map (1 trip uniform, 3 mixed).
-                def br_uniform(_):
-                    outs, muts = jax.lax.map(eval_style, s0[None])
-                    picked = jax.tree_util.tree_map(lambda x: x[0], muts)
-                    return outs[0], picked
-
-                def br_mixed(_):
-                    outs, muts = jax.lax.map(eval_style, jnp.arange(3))
-                    # outs (3, C, num_out); mut leaves (3, C, ...): pick
-                    # each scene's executed style.
-                    cidx = jnp.arange(C)
-                    picked = jax.tree_util.tree_map(
-                        lambda x: x[st_c, cidx], muts
-                    )
-                    return outs[st_c, cidx], picked
-
-                outs_c, mut_c = jax.lax.cond(
-                    uniform, br_uniform, br_mixed, None
-                )  # (C, num_out); mut leaves (C, ...) selected-style stats
+                # Chunks are style-pure by construction: one styled
+                # trunk pass per chunk, no mixed-chunk fallback.
+                outs_c, mut_c = jax.vmap(
+                    lambda sd1, em1: one_scene(st_c[0], sd1, em1)
+                )(sd_c, em_c)
                 # Full named stats per scene: the executed style's slots
                 # take the mutated values, the rest stay.
                 stats_c = jax.vmap(
@@ -732,19 +726,20 @@ class Trainer:
                     loss_c = jax.vmap(losses.huber_q)(outs_c[:, 0], label_c)
                 return jnp.where(valid_c, loss_c, 0.0), stats_c
 
-            (sd, em, va, la), st, inv, B = self._style_chunks(
+            (sd, em, va, la), st, flat_pos, B = self._style_chunks(
                 (exp.scene_depth, exp.exec_mask, exp.valid, labels),
                 exp.style,
             )
             losses_ch, stats_ch = jax.lax.map(
                 chunk_fn, (sd, em, va, la, st)
             )
-            # Padding repeats the last sorted scene (valid flag included),
-            # so slice back to the B real scenes before any reduction.
-            losses_b = losses_ch.reshape(-1)[:B][inv]
+            # Unused lanes hold zero scenes (valid=False): gather the B
+            # real scenes by their flat positions before any reduction.
+            losses_b = losses_ch.reshape(-1)[flat_pos]
             n = jnp.maximum(exp.valid.sum(), 1)
             new_stats = jax.tree_util.tree_map(
-                lambda s: s.reshape((-1,) + s.shape[2:])[:B].mean(axis=0),
+                lambda s: s.reshape((-1,) + s.shape[2:])[flat_pos]
+                .mean(axis=0),
                 stats_ch,
             )
             return losses_b.sum() / n, new_stats

@@ -264,6 +264,72 @@ class TestStyledDispatch:
             assert max_delta(n) == 0.0, n
 
 
+class TestChunkedDispatch:
+    """The TPU production path (style-sorted chunked dispatch) forced on
+    CPU via unroll_styles='off' must match the unrolled path exactly —
+    without this override the chunked code would only ever execute on
+    chip (it is backend-gated)."""
+
+    @staticmethod
+    def _trainers(chunk=3):
+        mk = lambda unroll: Trainer(
+            TrainConfig(
+                model=ModelConfig(method="reinforcement", trunk="tiny",
+                                  input_size=224, dtype="float32"),
+                method="reinforcement", scene_chunk=chunk,
+                unroll_styles=unroll,
+            )
+        )
+        return mk("auto"), mk("off")
+
+    def test_eval_styled_chunked_matches_unrolled(self):
+        tr_u, tr_c = self._trainers()
+        state = tr_u.init_state(jax.random.PRNGKey(0))
+        sd, em, styles = TestStyledDispatch._mixed_batch()  # B=7: pad+mixed
+        v_u = jax.jit(tr_u._eval_styled)(
+            state.params, state.batch_stats, sd, em, styles
+        )
+        v_c = jax.jit(tr_c._eval_styled)(
+            state.params, state.batch_stats, sd, em, styles
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_c), np.asarray(v_u), rtol=1e-5, atol=1e-6
+        )
+
+    @pytest.mark.slow
+    def test_update_chunked_matches_unrolled(self):
+        tr_u, tr_c = self._trainers()
+        state = tr_u.init_state(jax.random.PRNGKey(0))
+        sd, em, styles = TestStyledDispatch._mixed_batch()
+        B = sd.shape[0]
+        valid = jnp.asarray([1, 1, 0, 1, 1, 1, 1], bool)
+        labels = jnp.asarray(np.random.RandomState(1).rand(B), jnp.float32)
+        exp = Experience(scene_depth=sd, exec_mask=em, style=styles,
+                         valid=valid)
+        su, lu = jax.jit(tr_u.update)(state, exp, labels)
+        sc, lc = jax.jit(tr_c.update)(state, exp, labels)
+        assert abs(float(lu) - float(lc)) < 1e-5
+        for a, b in zip(
+            jax.tree_util.tree_leaves(su.batch_stats),
+            jax.tree_util.tree_leaves(sc.batch_stats),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(su.params),
+            jax.tree_util.tree_leaves(sc.params),
+        ):
+            # atol 5e-4 (> 2*lr): one Adam step from init normalizes each
+            # gradient element to ~sign(g)*lr, so f32 summation-order
+            # dust on a near-zero element can move the post-step param by
+            # up to 2*lr = 2e-4. Semantics are pinned by the loss and
+            # batch_stats comparisons above at tight tolerance.
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-4
+            )
+
+
 class TestLabels:
     def test_reactive_labels(self):
         tr = tiny_trainer(method="reactive")
