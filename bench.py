@@ -279,10 +279,15 @@ def bench_update(batch_size: int = 32):
     # AOT-compile once and execute the compiled object: calling the jit
     # after .lower().compile() would trace + compile a second time.
     compiled = step.lower(state).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0]
-    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    # Analytic USEFUL FLOPs, the same convention as the model legs: per
+    # valid scene, two trunk streams + head forward (score_flops at
+    # streams=1) x3 for the backward. compiled.cost_analysis() is NOT
+    # usable here: it counts a lax.map body once regardless of trip
+    # count, so the old metric undercounted the executed work by the
+    # number of style chunks (rounds 3-4 reported 0.006 where the same
+    # run reads ~0.025 under this accounting — a definition fix, not a
+    # speedup; the ms number is the comparable one across rounds).
+    flops = 3.0 * batch_size * score_flops(224, 1, trainer.cfg.model.num_out)
     state2, _ = compiled(state)
     _readback(state2)
     rb = _rb_cost(state2)
