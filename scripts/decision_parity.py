@@ -58,7 +58,7 @@ def main() -> None:
         ckptr = ocp.StandardCheckpointer()
         ref_p, ref_s = aff.init_params(jax.random.PRNGKey(0), mcfg)
         restored = ckptr.restore(
-            args.snapshot,
+            os.path.abspath(args.snapshot),  # orbax requires absolute
             {"params": ref_p, "batch_stats": ref_s},
         )
         params, stats = restored["params"], restored["batch_stats"]
