@@ -139,10 +139,19 @@ def predict_segmentation(model, params, color_hm, depth_hm) -> Segmentation:
     )
     boxes = jnp.where(valid[:, None, None], boxes, 0.0)
 
-    # NMS + area gate over predicted boxes (unlike the exact path, learned
-    # masks can overlap) — thresholds from masks.py:73.
+    # NMS + area gate over predicted boxes — overlap threshold 0.40 and
+    # the max-area gate (area/5) from masks.py:73. The reference's MIN
+    # area gate (area/60 = 836 px at 224) is NOT kept: it was sized for
+    # Mask-R-CNN's spurious proposals on COCO-scale objects, and this
+    # catalog's true objects are 19-45 px boxes (361-825 px areas) — the
+    # unmodified gate rejected pixel-perfect masks for ENTIRE scenes
+    # (measured 2026-08-21: 5/5 objects dropped, IoU 1.0 each; the
+    # `--segmentation learned` loop then trained at 27.6% success on
+    # near-empty segmentations). The noise floor for this fixed-slot
+    # argmax net is the exact path's visibility gate instead
+    # (MIN_VISIBLE_PIXELS, already applied to the pixel counts above).
     area = float(H * W)
-    keep = nms.nms(boxes, valid, 0.40, area / 60.0, area / 5.0)
+    keep = nms.nms(boxes, valid, 0.40, float(MIN_VISIBLE_PIXELS), area / 5.0)
     valid = valid & keep
 
     centers = jnp.where(

@@ -98,6 +98,41 @@ def test_learned_requires_bundle():
         train_step(trainer, cfg, state)
 
 
+def test_perfect_predictions_survive_the_gate():
+    """A pixel-perfect prediction must come through predict_segmentation
+    with every visible object kept. Regression for the round-5 bug: the
+    reference's min-area NMS gate (area/60 = 836 px at 224, sized for
+    COCO-scale Mask-R-CNN proposals) rejected this catalog's 361-825 px
+    objects wholesale, so `--segmentation learned` trained on
+    near-empty segmentations (27.6% success vs ~75% with exact masks)
+    while the UNet itself was perfect."""
+    from smg_tpu.perception import segment as seg_mod
+    from smg_tpu.physics import scene as scene_mod
+    from smg_tpu.physics.state import N_SLOTS
+    from smg_tpu.render import ortho
+
+    scene = scene_mod.reset_scene(jax.random.PRNGKey(43), False, False, 20)
+    depth, ids, color = ortho.render_heightmap(scene.objects)
+    exact = seg_mod.segment(scene.objects, ids)
+    assert int(jax.device_get(exact.valid.sum())) >= 2, "need objects"
+
+    class _Oracle:
+        """Stub model: ignores the input, emits one-hot logits of the
+        exact id-buffer (channel 0 = background)."""
+
+        def apply(self, _vars, x, _train):
+            onehot = jax.nn.one_hot(ids + 1, N_SLOTS + 1) * 10.0
+            return onehot[None]
+
+    pred = learned.predict_segmentation(_Oracle(), {}, color, depth)
+    np.testing.assert_array_equal(
+        jax.device_get(pred.valid), jax.device_get(exact.valid)
+    )
+    np.testing.assert_array_equal(
+        jax.device_get(pred.masks), jax.device_get(exact.masks)
+    )
+
+
 def test_learned_masks_match_exact_after_training(trained_segmenter):
     """On a settled scene the learned masks should substantially overlap
     the exact id-buffer masks (IoU of the union area)."""
